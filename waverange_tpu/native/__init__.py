@@ -1,0 +1,216 @@
+"""ctypes bindings for the wr_native host library.
+
+Exposes the range coder / framing primitives, the f64 CDF 9/7 wavelet, and
+the full-field encode/decode pipeline. All functions accept/return numpy
+arrays; the heavy lifting happens in C++ with the GIL released (ctypes
+releases it around foreign calls), so batch entry points thread cleanly.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .build import ensure_built
+
+NLAYMAX = 8
+WAV_LVL = 4
+WAV_ACC_COEF = 1.75
+BLOCKSIZE = 60000
+CODER_VERSION = 31503
+
+_lib = None
+
+
+def _default_threads() -> int:
+    env = os.environ.get("WR_NUM_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
+def get_lib() -> ct.CDLL:
+    global _lib
+    if _lib is None:
+        path = ensure_built()
+        lib = ct.CDLL(str(path))
+        u64 = ct.c_uint64
+        u8p = ct.POINTER(ct.c_uint8)
+        u64p = ct.POINTER(ct.c_uint64)
+        f64p = ct.POINTER(ct.c_double)
+        i32p = ct.POINTER(ct.c_int)
+
+        lib.wrn_encode_plane.restype = u64
+        lib.wrn_encode_plane.argtypes = [u8p, u64, u8p, u64]
+        lib.wrn_decode_plane.restype = u64
+        lib.wrn_decode_plane.argtypes = [u8p, u64, u8p, u64]
+        lib.wrn_encode_planes_batch.restype = u64
+        lib.wrn_encode_planes_batch.argtypes = [
+            u8p, u64, u64, u8p, u64, u64p, ct.c_int]
+        lib.wrn_decode_planes_batch.restype = None
+        lib.wrn_decode_planes_batch.argtypes = [
+            u8p, u64p, u64, u8p, u64, ct.c_int]
+        lib.wrn_wavelet3d.restype = None
+        lib.wrn_wavelet3d.argtypes = [f64p, u64, u64, u64, ct.c_int]
+        lib.wrn_index_p2w.restype = None
+        lib.wrn_index_p2w.argtypes = [ct.c_int] * 7 + [i32p] * 4
+        lib.wrn_encode_field.restype = u64
+        lib.wrn_encode_field.argtypes = [
+            f64p, u64, u64, u64, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
+            f64p, f64p, f64p, f64p, u8p, u8p, f64p, f64p, u64p, u8p]
+        lib.wrn_decode_field.restype = None
+        lib.wrn_decode_field.argtypes = [
+            f64p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
+            f64p, f64p, u64p, u8p]
+        _lib = lib
+    return _lib
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+
+def _f64p(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_double))
+
+
+def _u64p(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_uint64))
+
+
+def encode_plane(syms: np.ndarray) -> bytes:
+    """Range-encode one uint8 symbol plane into its layer bitstream."""
+    lib = get_lib()
+    syms = np.ascontiguousarray(syms, dtype=np.uint8).ravel()
+    n = syms.size
+    cap = max(2 * n + 8192, 16384)
+    out = np.empty(cap, dtype=np.uint8)
+    ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), cap)
+    if ln > cap:  # extremely incompressible data; retry with exact size
+        out = np.empty(ln, dtype=np.uint8)
+        ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), ln)
+    return out[:ln].tobytes()
+
+
+def decode_plane(data: bytes, n: int) -> np.ndarray:
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    syms = np.empty(n, dtype=np.uint8)
+    got = lib.wrn_decode_plane(_u8p(buf), buf.size, _u8p(syms), n)
+    if got != n:
+        raise ValueError(f"decode_plane: expected {n} symbols, got {got}")
+    return syms
+
+
+def encode_planes_batch(planes: np.ndarray, nthreads: int | None = None
+                        ) -> Tuple[bytes, np.ndarray]:
+    """Encode (nplanes, n) uint8 planes in parallel.
+
+    Returns (payload bytes with planes back to back, per-plane lengths).
+    """
+    lib = get_lib()
+    planes = np.ascontiguousarray(planes, dtype=np.uint8)
+    nplanes, n = planes.shape
+    cap = max(2 * planes.size + 8192 * nplanes, 16384)
+    out = np.empty(cap, dtype=np.uint8)
+    lens = np.zeros(nplanes, dtype=np.uint64)
+    nt = nthreads or _default_threads()
+    total = lib.wrn_encode_planes_batch(
+        _u8p(planes), nplanes, n, _u8p(out), cap, _u64p(lens), nt)
+    if total > cap:
+        out = np.empty(total, dtype=np.uint64)
+        total = lib.wrn_encode_planes_batch(
+            _u8p(planes), nplanes, n, _u8p(out), total, _u64p(lens), nt)
+    return out[:total].tobytes(), lens
+
+
+def decode_planes_batch(payload: bytes | np.ndarray, lens: np.ndarray, n: int,
+                        nthreads: int | None = None) -> np.ndarray:
+    lib = get_lib()
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(
+        payload, (bytes, bytearray)) else np.ascontiguousarray(payload, np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.uint64)
+    nplanes = lens.size
+    syms = np.empty((nplanes, n), dtype=np.uint8)
+    lib.wrn_decode_planes_batch(
+        _u8p(buf), _u64p(lens), nplanes, _u8p(syms), n,
+        nthreads or _default_threads())
+    return syms
+
+
+def wavelet3d(fld: np.ndarray, levels: int) -> np.ndarray:
+    """In-place separable CDF 9/7 transform on an (nz, ny, nx) f64 array.
+
+    ``levels`` > 0 forward, < 0 inverse — axis x (last, contiguous) is the
+    "first" axis in codec convention.
+    """
+    lib = get_lib()
+    assert fld.dtype == np.float64 and fld.flags.c_contiguous
+    nz, ny, nx = fld.shape
+    lib.wrn_wavelet3d(_f64p(fld), nx, ny, nz, levels)
+    return fld
+
+
+def index_p2w(levels: int, n1: int, n2: int, n3: int,
+              i1: int, i2: int, i3: int) -> Tuple[int, int, int, int]:
+    lib = get_lib()
+    lvl = ct.c_int()
+    o1, o2, o3 = ct.c_int(), ct.c_int(), ct.c_int()
+    lib.wrn_index_p2w(levels, n1, n2, n3, i1, i2, i3,
+                      ct.byref(lvl), ct.byref(o1), ct.byref(o2), ct.byref(o3))
+    return lvl.value, o1.value, o2.value, o3.value
+
+
+def encode_field(fld: np.ndarray, wtflag: int = 1,
+                 cutoff=None, mx: int = 1, my: int = 1, mz: int = 1) -> dict:
+    """Encode one (nz, ny, nx) f64 field. ``fld`` is copied (not clobbered).
+
+    Returns a dict with the codec metadata + payload, mirroring the
+    reference encoding_wrap outputs (wrappers.h:53).
+    """
+    lib = get_lib()
+    fld = np.ascontiguousarray(fld, dtype=np.float64).copy()
+    nz, ny, nx = fld.shape
+    n = fld.size
+    if cutoff is None:
+        cutoff = np.array([1e-16], dtype=np.float64)
+    cutoffvec = np.ascontiguousarray(cutoff, dtype=np.float64).ravel()
+    assert cutoffvec.size == mx * my * mz
+    tolabs = ct.c_double()
+    midval = ct.c_double()
+    halfspanval = ct.c_double()
+    wlev = ct.c_uint8()
+    nlay = ct.c_uint8()
+    deps_vec = np.zeros(NLAYMAX, dtype=np.float64)
+    minval_vec = np.zeros(NLAYMAX, dtype=np.float64)
+    len_enc_vec = np.zeros(NLAYMAX, dtype=np.uint64)
+    cap = NLAYMAX * max(n, 1024)
+    data_enc = np.empty(cap, dtype=np.uint8)
+    ntot_enc = lib.wrn_encode_field(
+        _f64p(fld), nx, ny, nz, wtflag, mx, my, mz, _f64p(cutoffvec),
+        ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
+        ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),
+        _u64p(len_enc_vec), _u8p(data_enc))
+    return dict(
+        tolabs=tolabs.value, midval=midval.value,
+        halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
+        ntot_enc=int(ntot_enc), deps_vec=deps_vec, minval_vec=minval_vec,
+        len_enc_vec=len_enc_vec, data=data_enc[:ntot_enc].tobytes())
+
+
+def decode_field(meta: dict, shape: Tuple[int, int, int]) -> np.ndarray:
+    """Decode to an (nz, ny, nx) f64 field from encode_field-style metadata."""
+    lib = get_lib()
+    nz, ny, nx = shape
+    fld = np.empty(shape, dtype=np.float64)
+    data = np.frombuffer(meta["data"], dtype=np.uint8)
+    deps_vec = np.ascontiguousarray(meta["deps_vec"], dtype=np.float64)
+    minval_vec = np.ascontiguousarray(meta["minval_vec"], dtype=np.float64)
+    len_enc_vec = np.ascontiguousarray(meta["len_enc_vec"], dtype=np.uint64)
+    lib.wrn_decode_field(
+        _f64p(fld), nx, ny, nz, meta["midval"], meta["wlev"], meta["nlay"],
+        meta["ntot_enc"], _f64p(deps_vec), _f64p(minval_vec),
+        _u64p(len_enc_vec), _u8p(data))
+    return fld

@@ -1,0 +1,770 @@
+// wr_native.cc — host-side native core of waverange_tpu.
+//
+// A from-scratch C++17 implementation of the WaveRange codec's host
+// components, designed for the TPU-hybrid pipeline:
+//
+//   * a carry-counting byte range coder (Schindler rngcod13 bitstream
+//     semantics; see /root/reference/src/rangecod/rangecod.c:170-373 for the
+//     behavior contract this reproduces — implementation is original),
+//   * per-layer block framing (60000-symbol blocks, raw 16-bit histogram
+//     models, block marker bits; contract: reference wrappers.cpp:68-224),
+//   * the f64 CDF 9/7 separable 3-D lifting wavelet (contract:
+//     reference waveletcdf97_3d.c:38-468) used for the bit-exact CPU path
+//     (TPUs execute the JAX/Pallas version; this one is the oracle-parity
+//     reference and the f64 fast path on hosts),
+//   * full field encode/decode pipelines (contract: wrappers.cpp:228-541),
+//   * thread-parallel batch entry points: independent layers/fields/blocks
+//     are encoded/decoded concurrently (the bitstream is sequential only
+//     *within* one layer stream).
+//
+// Exported C ABI at the bottom; loaded from Python via ctypes.
+
+#include <algorithm>
+#include <atomic>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace wr {
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+using i64 = int64_t;
+
+// ----------------------------------------------------------------------------
+// Range coder constants (32-bit code value, byte-wise renormalization).
+// ----------------------------------------------------------------------------
+constexpr u32 kTopValue = 1u << 31;     // 2^31
+constexpr u32 kBottomValue = kTopValue >> 8;  // 2^23
+constexpr int kShiftBits = 23;          // bits dropped when emitting a byte
+constexpr int kExtraBits = 7;           // (32-2) % 8 + 1
+
+constexpr u64 kBlockSymbols = 60000;    // symbols per framed block
+constexpr int kLayersMax = 8;           // max byte layers (NLAYMAX)
+constexpr int kWavLevels = 4;           // wavelet depth (WAV_LVL)
+constexpr double kWavAccCoef = 1.75;    // tolerance derating (WAV_ACC_COEF)
+
+// ----------------------------------------------------------------------------
+// Encoder: writes into a caller-provided growable byte vector.
+// ----------------------------------------------------------------------------
+class RangeEncoder {
+ public:
+  explicit RangeEncoder(std::vector<u8>& out, u8 first_byte = 0)
+      : out_(out), low_(0), range_(kTopValue), pending_ff_(0),
+        cache_(first_byte), nbytes_(0) {}
+
+  // Encode symbol occupying [lt, lt+sy) of a total-frequency-tot model.
+  inline void encode(u32 sy, u32 lt, u32 tot) {
+    normalize();
+    u32 r = range_ / tot;
+    u32 d = r * lt;
+    low_ += d;
+    // Last symbol of the model absorbs division slack (range_ -= d);
+    // interior symbols take exactly r*sy.
+    range_ -= d;
+    if (lt + sy < tot) range_ = r * sy;
+  }
+
+  // Encode with power-of-two total frequency 1<<shift.
+  inline void encode_shift(u32 sy, u32 lt, u32 shift) {
+    normalize();
+    u32 r = range_ >> shift;
+    u32 d = r * lt;
+    low_ += d;
+    if ((lt + sy) >> shift)
+      range_ -= d;
+    else
+      range_ = r * sy;
+  }
+
+  // Raw 16-bit value under a flat model.
+  inline void put_u16(u32 v) { encode_shift(1, v, 16); }
+
+  // Flush: emits the cache, pending bytes, a rounding byte and a 24-bit
+  // running byte count (the classic 5-byte rngcod tail used for recovery).
+  u64 finish() {
+    normalize();
+    nbytes_ += 5;
+    u32 t;
+    if ((low_ & (kBottomValue - 1)) < ((nbytes_ & 0xffffffu) >> 1))
+      t = low_ >> kShiftBits;
+    else
+      t = (low_ >> kShiftBits) + 1;
+    if (t > 0xff) {
+      emit(cache_ + 1);
+      flush_pending(0x00);
+    } else {
+      emit(cache_);
+      flush_pending(0xff);
+    }
+    emit(t & 0xff);
+    emit((nbytes_ >> 16) & 0xff);
+    emit((nbytes_ >> 8) & 0xff);
+    emit(nbytes_ & 0xff);
+    return nbytes_;
+  }
+
+ private:
+  inline void emit(u8 b) { out_.push_back(b); }
+  inline void flush_pending(u8 b) {
+    for (; pending_ff_; --pending_ff_) emit(b);
+  }
+  inline void normalize() {
+    while (range_ <= kBottomValue) {
+      if (low_ < (u32(0xff) << kShiftBits)) {      // no carry possible
+        emit(cache_);
+        flush_pending(0xff);
+        cache_ = u8(low_ >> kShiftBits);
+      } else if (low_ & kTopValue) {               // carry resolved now
+        emit(cache_ + 1);
+        flush_pending(0x00);
+        cache_ = u8(low_ >> kShiftBits);
+      } else {                                     // carry still possible
+        ++pending_ff_;
+      }
+      range_ <<= 8;
+      low_ = (low_ << 8) & (kTopValue - 1);
+      ++nbytes_;
+    }
+  }
+
+  std::vector<u8>& out_;
+  u32 low_, range_;
+  u64 pending_ff_;
+  u8 cache_;
+  u64 nbytes_;
+};
+
+// ----------------------------------------------------------------------------
+// Decoder: reads from a caller-provided byte span.
+// ----------------------------------------------------------------------------
+class RangeDecoder {
+ public:
+  RangeDecoder(const u8* data, u64 len) : data_(data), len_(len), pos_(0) {
+    first_byte_ = next();            // byte written at start_encoding
+    cache_ = next();
+    low_ = cache_ >> (8 - kExtraBits);
+    range_ = u32(1) << kExtraBits;
+  }
+
+  u8 first_byte() const { return first_byte_; }
+
+  // Cumulative frequency of the next symbol under a total-tot model.
+  inline u32 cul_freq(u32 tot) {
+    normalize();
+    step_ = range_ / tot;
+    u32 t = low_ / step_;
+    return t >= tot ? tot - 1 : t;
+  }
+
+  inline u32 cul_shift(u32 shift) {
+    normalize();
+    step_ = range_ >> shift;
+    u32 t = low_ / step_;
+    return (t >> shift) ? (u32(1) << shift) - 1 : t;
+  }
+
+  inline void update(u32 sy, u32 lt, u32 tot) {
+    u32 d = step_ * lt;
+    low_ -= d;
+    if (lt + sy < tot)
+      range_ = step_ * sy;
+    else
+      range_ -= d;
+  }
+
+  inline u16 get_u16() {
+    u32 t = cul_shift(16);
+    update(1, t, u32(1) << 16);
+    return u16(t);
+  }
+
+  void finish() { normalize(); }
+
+ private:
+  inline u8 next() { return pos_ < len_ ? data_[pos_++] : 0; }
+  inline void normalize() {
+    while (range_ <= kBottomValue) {
+      low_ = (low_ << 8) | ((u32(cache_) << kExtraBits) & 0xff);
+      cache_ = next();
+      low_ |= cache_ >> (8 - kExtraBits);
+      range_ <<= 8;
+    }
+  }
+
+  const u8* data_;
+  u64 len_, pos_;
+  u32 low_, range_, step_;
+  u8 cache_, first_byte_;
+};
+
+// ----------------------------------------------------------------------------
+// Layer framing: one independent range-coded stream per byte layer.
+//
+// Stream layout (contract: reference wrappers.cpp:85-139 + survey App.1-2):
+//   leading literal 0x00 (encoder start byte), then per block:
+//     marker bit "another block follows" (freq model {0,1}/2),
+//     256 x raw u16 symbol counts,
+//     `blocksize` symbols under the block's cumulative-count model;
+//   a final 0-bit end marker, then the 5-byte coder tail.
+//   When n % 60000 == 0 an empty block (256 zero counts) is emitted before
+//   the end marker — part of the bitstream contract.
+// ----------------------------------------------------------------------------
+void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
+  RangeEncoder enc(out, 0);
+  u32 counts[257];
+  u64 pos = 0;
+  for (;;) {
+    u64 bs = std::min<u64>(kBlockSymbols, n - pos);
+    enc.encode(1, 1, 2);  // block-present marker
+    std::memset(counts, 0, sizeof(counts));
+    const u8* p = syms + pos;
+    for (u64 i = 0; i < bs; ++i) counts[p[i]]++;
+    for (int i = 0; i < 256; ++i) enc.put_u16(counts[i]);
+    // Exclusive cumulative sums: counts[i] = #symbols < i, counts[256] = bs.
+    u32 cum = 0;
+    for (int i = 0; i < 257; ++i) {
+      u32 c = counts[i];
+      counts[i] = cum;
+      cum += c;
+    }
+    for (u64 i = 0; i < bs; ++i) {
+      u8 ch = p[i];
+      enc.encode(counts[ch + 1] - counts[ch], counts[ch], u32(bs));
+    }
+    pos += bs;
+    if (bs < kBlockSymbols) break;  // short (or empty) block terminates
+  }
+  enc.encode(1, 0, 2);  // end marker
+  enc.finish();
+}
+
+// Returns number of symbols decoded (should equal expected n).
+u64 decode_plane(const u8* data, u64 len, u8* syms, u64 n_expected) {
+  RangeDecoder dec(data, len);
+  u32 counts[257];
+  u64 pos = 0;
+  std::vector<u8> inv;  // cumulative-frequency -> symbol lookup
+  while (dec.cul_freq(2) == 1) {
+    dec.update(1, 1, 2);
+    u32 cum = 0;
+    for (int i = 0; i < 256; ++i) {
+      u32 c = dec.get_u16();
+      counts[i] = cum;
+      cum += c;
+    }
+    counts[256] = cum;
+    u32 bs = cum;
+    inv.assign(bs, 0);
+    for (int s = 0; s < 256; ++s)
+      for (u32 i = counts[s]; i < counts[s + 1]; ++i) inv[i] = u8(s);
+    for (u32 i = 0; i < bs; ++i) {
+      u32 cf = dec.cul_freq(bs);
+      u32 s = inv[cf];
+      dec.update(counts[s + 1] - counts[s], counts[s], bs);
+      if (pos < n_expected) syms[pos] = u8(s);
+      ++pos;
+    }
+  }
+  dec.finish();
+  return pos;
+}
+
+// ----------------------------------------------------------------------------
+// CDF 9/7 lifting wavelet, f64, in place, separable over x (fastest axis),
+// y, z. Data layout: fld[ix + nx*iy + nx*ny*iz].
+//
+// Per 1-D line of length N (N > 1): split even/odd, extrapolate the missing
+// odd tail sample when N is odd, four lifting updates with edge-replicated
+// symmetric boundaries, then scale & pack [lo*s | hi/s].
+// ----------------------------------------------------------------------------
+constexpr double kLift[4] = {-1.5861343420693648, -0.0529801185718856,
+                             0.8829110755411875, 0.4435068520511142};
+constexpr double kScale = 1.1496043988602418;
+constexpr double kScaleInv = 1.0 / 1.1496043988602418;
+
+struct ExtCoef {
+  double a, b, c;
+};
+static ExtCoef ext_coeffs() {
+  double den = 1 + 2 * kLift[1] * kLift[2];
+  return {-2 * kLift[0] * kLift[1] * kLift[2] / den,
+          -2 * kLift[1] * kLift[2] / den,
+          -2 * (kLift[0] + kLift[2] + 3 * kLift[0] * kLift[1] * kLift[2]) / den};
+}
+
+// Forward-lift one gathered line of length n into out (same length).
+static void lift_line_fwd(const double* v, u64 n, double* lo, double* hi,
+                          double* out) {
+  const u64 m = n / 2 + (n % 2);
+  for (u64 i = 0; i < m; ++i) lo[i] = v[2 * i];
+  for (u64 i = 0; 2 * i + 1 < n; ++i) hi[i] = v[2 * i + 1];
+  if (n % 2) {
+    ExtCoef e = ext_coeffs();
+    hi[m - 1] = lo[m - 2] * e.a + hi[m - 2] * e.b + lo[m - 1] * e.c;
+  }
+  for (u64 i = 0; i + 1 < m; ++i) hi[i] += kLift[0] * (lo[i + 1] + lo[i]);
+  hi[m - 1] += kLift[0] * 2 * lo[m - 1];
+  lo[0] += kLift[1] * 2 * hi[0];
+  for (u64 i = 1; i < m; ++i) lo[i] += kLift[1] * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < m; ++i) hi[i] += kLift[2] * (lo[i + 1] + lo[i]);
+  hi[m - 1] += kLift[2] * 2 * lo[m - 1];
+  lo[0] += kLift[3] * 2 * hi[0];
+  for (u64 i = 1; i < m; ++i) lo[i] += kLift[3] * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i < m; ++i) {
+    out[i] = lo[i] * kScale;
+    if (2 * i + 1 < n) out[i + m] = hi[i] * kScaleInv;
+  }
+}
+
+// Inverse-lift one gathered line of length m into out (same length).
+static void lift_line_inv(const double* v, u64 m, double* lo, double* hi,
+                          double* out) {
+  const u64 q = m / 2 + (m % 2);
+  for (u64 i = 0; i < q; ++i) lo[i] = v[i] * kScaleInv;
+  for (u64 i = 0; i < m - q; ++i) hi[i] = v[i + q] * kScale;
+  if (m % 2) hi[q - 1] = 0;
+  lo[0] -= kLift[3] * 2 * hi[0];
+  for (u64 i = 1; i < q; ++i) lo[i] -= kLift[3] * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= kLift[2] * (lo[i + 1] + lo[i]);
+  hi[q - 1] -= kLift[2] * 2 * lo[q - 1];
+  lo[0] -= kLift[1] * 2 * hi[0];
+  for (u64 i = 1; i < q; ++i) lo[i] -= kLift[1] * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= kLift[0] * (lo[i + 1] + lo[i]);
+  hi[q - 1] -= kLift[0] * 2 * lo[q - 1];
+  for (u64 i = 0; i < q; ++i) {
+    out[2 * i] = lo[i];
+    if (2 * i + 1 < m) out[2 * i + 1] = hi[i];
+  }
+}
+
+struct Dim3 {
+  u64 nx, ny, nz;
+};
+
+// Apply forward lifting along one axis of the active sub-box (n1,n2,n3) of
+// the full array (stride layout from full dims).
+static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
+  const u64 sx = 1, sy = full.nx, sz = full.nx * full.ny;
+  u64 n, stride, c1, c2, s1, s2;
+  if (axis == 0) {
+    n = act.nx; stride = sx; c1 = act.ny; s1 = sy; c2 = act.nz; s2 = sz;
+  } else if (axis == 1) {
+    n = act.ny; stride = sy; c1 = act.nx; s1 = sx; c2 = act.nz; s2 = sz;
+  } else {
+    n = act.nz; stride = sz; c1 = act.nx; s1 = sx; c2 = act.ny; s2 = sy;
+  }
+  if (n <= 1) return;
+  const u64 m = n / 2 + (n % 2);
+  std::vector<double> v(n), lo(m), hi(m), out(n);
+  for (u64 j2 = 0; j2 < c2; ++j2) {
+    for (u64 j1 = 0; j1 < c1; ++j1) {
+      double* base = fld + j1 * s1 + j2 * s2;
+      for (u64 i = 0; i < n; ++i) v[i] = base[i * stride];
+      lift_line_fwd(v.data(), n, lo.data(), hi.data(), out.data());
+      for (u64 i = 0; i < n; ++i) base[i * stride] = out[i];
+    }
+  }
+}
+
+static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
+  const u64 sx = 1, sy = full.nx, sz = full.nx * full.ny;
+  u64 n, stride, c1, c2, s1, s2;
+  if (axis == 0) {
+    n = act.nx; stride = sx; c1 = act.ny; s1 = sy; c2 = act.nz; s2 = sz;
+  } else if (axis == 1) {
+    n = act.ny; stride = sy; c1 = act.nx; s1 = sx; c2 = act.nz; s2 = sz;
+  } else {
+    n = act.nz; stride = sz; c1 = act.nx; s1 = sx; c2 = act.ny; s2 = sy;
+  }
+  if (n <= 1) return;
+  const u64 q = n / 2 + (n % 2);
+  std::vector<double> v(n), lo(q), hi(q), out(n);
+  for (u64 j2 = 0; j2 < c2; ++j2) {
+    for (u64 j1 = 0; j1 < c1; ++j1) {
+      double* base = fld + j1 * s1 + j2 * s2;
+      for (u64 i = 0; i < n; ++i) v[i] = base[i * stride];
+      lift_line_inv(v.data(), n, lo.data(), hi.data(), out.data());
+      for (u64 i = 0; i < n; ++i) base[i * stride] = out[i];
+    }
+  }
+}
+
+static inline u64 halve_up(u64 n) { return n / 2 + (n % 2); }
+
+void wavelet3d_forward(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
+  Dim3 full{nx, ny, nz};
+  Dim3 act{nx, ny, nz};
+  for (int k = 0; k < levels; ++k) {
+    sweep_axis_fwd(fld, full, act, 0);
+    sweep_axis_fwd(fld, full, act, 1);
+    sweep_axis_fwd(fld, full, act, 2);
+    act = {halve_up(act.nx), halve_up(act.ny), halve_up(act.nz)};
+  }
+}
+
+void wavelet3d_inverse(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
+  Dim3 full{nx, ny, nz};
+  for (int k = levels; k >= 1; --k) {
+    // Active sub-box extent at depth k-1 is ceil(n / 2^(k-1)).
+    u64 p = u64(1) << (k - 1);
+    auto cdivp = [p](u64 n) { return n / p + (n % p ? 1 : 0); };
+    Dim3 act{cdivp(nx), cdivp(ny), cdivp(nz)};
+    // Note: a dimension participates iff its *active* extent > 1 here,
+    // mirroring the reference's M>1 guards (waveletcdf97_3d.c:292,351,410).
+    sweep_axis_inv(fld, full, act, 2);
+    sweep_axis_inv(fld, full, act, 1);
+    sweep_axis_inv(fld, full, act, 0);
+  }
+}
+
+// ----------------------------------------------------------------------------
+// Physical->wavelet index map (contract: waveletcdf97_3d.c:473-553, including
+// the observed quirk that the returned level equals `levels` for any point
+// once it has moved at least once — chlvl latches and the level counter then
+// increments every iteration).
+// ----------------------------------------------------------------------------
+void index_phys_to_wav(int levels, int n1, int n2, int n3, int i1, int i2,
+                       int i3, int* lvl, int* o1, int* o2, int* o3) {
+  *lvl = 0;
+  *o1 = i1;
+  *o2 = i2;
+  *o3 = i3;
+  bool moved = false;
+  for (int k = 1; k <= levels; ++k) {
+    int m1 = n1 / 2 + (n1 % 2);
+    int m2 = n2 / 2 + (n2 % 2);
+    int m3 = n3 / 2 + (n3 % 2);
+    if (n1 > 1 && *o3 < n3 && *o2 < n2 && *o1 < n1) {
+      *o1 = (*o1 % 2) ? *o1 / 2 + m1 : *o1 / 2;
+      moved = true;
+    }
+    if (n2 > 1 && *o3 < n3 && *o2 < n2 && *o1 < n1) {
+      *o2 = (*o2 % 2) ? *o2 / 2 + m2 : *o2 / 2;
+      moved = true;
+    }
+    if (n3 > 1 && *o3 < n3 && *o2 < n2 && *o1 < n1) {
+      *o3 = (*o3 % 2) ? *o3 / 2 + m3 : *o3 / 2;
+      moved = true;
+    }
+    n1 = m1;
+    n2 = m2;
+    n3 = m3;
+    if (moved) *lvl += 1;
+  }
+}
+
+// ----------------------------------------------------------------------------
+// Quantization layers.
+// ----------------------------------------------------------------------------
+struct LayerResult {
+  double deps;
+  double minval;
+  bool last;
+};
+
+// Quantize the current residual field into syms, update the residual in
+// place; uniform-cutoff fast path.
+static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
+                                  int ilay) {
+  double mn = fld[0], mx = fld[0];
+  for (u64 j = 1; j < n; ++j) {
+    mn = std::fmin(mn, fld[j]);
+    mx = std::fmax(mx, fld[j]);
+  }
+  double deps = (mx - mn) / 255.0;
+  bool last = false;
+  if (deps < tolabs) {
+    deps = tolabs;
+    last = true;
+  }
+  if (ilay >= kLayersMax - 1) last = true;
+  const double a = 1.0 / deps;
+  const double b = -mn * a + 0.5;
+  for (u64 j = 0; j < n; ++j) {
+    double fq = a * fld[j] + b;
+    syms[j] = u8(fq);  // truncation == floor for non-negative fq
+  }
+  for (u64 j = 0; j < n; ++j) fld[j] = fld[j] - (syms[j] * deps + mn);
+  return {deps, mn, last};
+}
+
+// Local-cutoff variant (mtot > 1): per-element precision mask driven by the
+// physical->wavelet index map (contract: wrappers.cpp:343-379).
+static LayerResult quantize_layer_masked(double* fld, u8* syms, u64 nx, u64 ny,
+                                         u64 nz, double tolabs, double tolrel,
+                                         int wlev, int mx, int my, int mz,
+                                         const double* cutoffvec, int ilay) {
+  const u64 n = nx * ny * nz;
+  double mn = fld[0], mxv = fld[0];
+  for (u64 j = 1; j < n; ++j) {
+    mn = std::fmin(mn, fld[j]);
+    mxv = std::fmax(mxv, fld[j]);
+  }
+  double deps = (mxv - mn) / 255.0;
+  bool last = false;
+  if (deps < tolabs) {
+    deps = tolabs;
+    last = true;
+  }
+  if (ilay >= kLayersMax - 1) last = true;
+  const double a = 1.0 / deps;
+  const double b = -mn * a + 0.5;
+  for (u64 jp = 0; jp < n; ++jp) {
+    int px = int(jp % nx), py = int((jp / nx) % ny), pz = int(jp / nx / ny);
+    int l, wx, wy, wz;
+    index_phys_to_wav(wlev, int(nx), int(ny), int(nz), px, py, pz, &l, &wx,
+                      &wy, &wz);
+    double precmask = tolabs;
+    if (l <= 1 /* LOC_CUTOFF_LVL */) {
+      int kx = int(double(px) / double(nx) * double(mx));
+      int ky = int(double(py) / double(ny) * double(my));
+      int kz = int(double(pz) / double(nz) * double(mz));
+      precmask = tolabs / tolrel * cutoffvec[kx + mx * ky + mx * my * kz];
+    }
+    u64 jw = u64(wx) + nx * u64(wy) + nx * ny * u64(wz);
+    if (mxv - mn < precmask) {
+      syms[jw] = 0;
+      fld[jw] = mn;
+    } else {
+      double fq = a * fld[jw] + b;
+      syms[jw] = u8(fq);
+    }
+  }
+  for (u64 j = 0; j < n; ++j) fld[j] = fld[j] - (syms[j] * deps + mn);
+  return {deps, mn, last};
+}
+
+// ----------------------------------------------------------------------------
+// Full-field encode/decode (contract: wrappers.cpp:228-527).
+// ----------------------------------------------------------------------------
+struct EncodeOut {
+  double tolabs, midval, halfspanval;
+  u8 wlev, nlay;
+  u64 ntot_enc;
+  double deps_vec[kLayersMax];
+  double minval_vec[kLayersMax];
+  u64 len_enc_vec[kLayersMax];
+};
+
+void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
+                  int my, int mz, const double* cutoffvec, EncodeOut* out,
+                  std::vector<u8>& payload) {
+  const u64 n = nx * ny * nz;
+  const u64 mtot = u64(mx) * u64(my) * u64(mz);
+  out->wlev = wtflag ? kWavLevels : 0;
+  std::memset(out->deps_vec, 0, sizeof(out->deps_vec));
+  std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
+  std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
+
+  double mn = fld[0], mx_ = fld[0];
+  for (u64 j = 0; j < n; ++j) {
+    mn = std::fmin(mn, fld[j]);
+    mx_ = std::fmax(mx_, fld[j]);
+  }
+  out->halfspanval = (mx_ - mn) / 2;
+  out->midval = mn + out->halfspanval;
+  if (out->halfspanval <= 2 * DBL_MIN) {
+    out->ntot_enc = 0;
+    out->nlay = 0;
+    out->tolabs = 0;
+    return;
+  }
+
+  wavelet3d_forward(fld, nx, ny, nz, int(out->wlev));
+
+  double tolrel = cutoffvec[0];
+  for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
+  out->tolabs = tolrel * std::fmax(std::fabs(mn), std::fabs(mx_)) / kWavAccCoef;
+
+  std::vector<u8> syms(n);
+  int ilay = 0;
+  for (;;) {
+    LayerResult lr =
+        (mtot > 1)
+            ? quantize_layer_masked(fld, syms.data(), nx, ny, nz, out->tolabs,
+                                    tolrel, out->wlev, mx, my, mz, cutoffvec,
+                                    ilay)
+            : quantize_layer(fld, syms.data(), n, out->tolabs, ilay);
+    out->deps_vec[ilay] = lr.deps;
+    out->minval_vec[ilay] = lr.minval;
+    u64 before = payload.size();
+    encode_plane(syms.data(), n, payload);
+    out->len_enc_vec[ilay] = payload.size() - before;
+    ++ilay;
+    if (lr.last) break;
+  }
+  out->nlay = u8(ilay);
+  out->ntot_enc = payload.size();
+}
+
+void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
+                  u8 nlay, u64 ntot_enc, const double* deps_vec,
+                  const double* minval_vec, const u64* len_enc_vec,
+                  const u8* data_enc) {
+  const u64 n = nx * ny * nz;
+  if (ntot_enc == 0) {
+    for (u64 j = 0; j < n; ++j) fld[j] = midval;
+    return;
+  }
+  for (u64 j = 0; j < n; ++j) fld[j] = 0;
+  std::vector<u8> syms(n);
+  u64 off = 0;
+  for (int ilay = 0; ilay < nlay; ++ilay) {
+    decode_plane(data_enc + off, len_enc_vec[ilay], syms.data(), n);
+    off += len_enc_vec[ilay];
+    const double deps = deps_vec[ilay];
+    const double mnv = minval_vec[ilay];
+    for (u64 j = 0; j < n; ++j) fld[j] = fld[j] + (syms[j] * deps + mnv);
+  }
+  wavelet3d_inverse(fld, nx, ny, nz, int(wlev));
+}
+
+}  // namespace wr
+
+// ----------------------------------------------------------------------------
+// C ABI
+// ----------------------------------------------------------------------------
+extern "C" {
+
+// --- range coder / framing primitives -------------------------------------
+
+// Encode one symbol plane. Returns encoded length; writes at most out_cap
+// bytes into out (if the stream would exceed out_cap, returns the required
+// length and writes nothing — caller retries with a larger buffer).
+uint64_t wrn_encode_plane(const uint8_t* syms, uint64_t n, uint8_t* out,
+                          uint64_t out_cap) {
+  std::vector<wr::u8> buf;
+  buf.reserve(n / 2 + 4096);
+  wr::encode_plane(syms, n, buf);
+  if (buf.size() <= out_cap) std::memcpy(out, buf.data(), buf.size());
+  return buf.size();
+}
+
+uint64_t wrn_decode_plane(const uint8_t* data, uint64_t len, uint8_t* syms,
+                          uint64_t n) {
+  return wr::decode_plane(data, len, syms, n);
+}
+
+// Encode many independent planes in parallel with `nthreads` workers.
+// lens[i] receives each plane's encoded length; output is written
+// back-to-back into `out` in plane order (caller sizes out via out_cap;
+// returns total bytes or required size if it didn't fit).
+uint64_t wrn_encode_planes_batch(const uint8_t* syms, uint64_t nplanes,
+                                 uint64_t n, uint8_t* out, uint64_t out_cap,
+                                 uint64_t* lens, int nthreads) {
+  std::vector<std::vector<wr::u8>> bufs(nplanes);
+  std::atomic<uint64_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      uint64_t i = next.fetch_add(1);
+      if (i >= nplanes) return;
+      bufs[i].reserve(n / 2 + 4096);
+      wr::encode_plane(syms + i * n, n, bufs[i]);
+    }
+  };
+  int nt = std::max(1, nthreads);
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
+  uint64_t total = 0;
+  for (uint64_t i = 0; i < nplanes; ++i) {
+    lens[i] = bufs[i].size();
+    total += bufs[i].size();
+  }
+  if (total <= out_cap) {
+    uint64_t off = 0;
+    for (uint64_t i = 0; i < nplanes; ++i) {
+      std::memcpy(out + off, bufs[i].data(), bufs[i].size());
+      off += bufs[i].size();
+    }
+  }
+  return total;
+}
+
+void wrn_decode_planes_batch(const uint8_t* data, const uint64_t* lens,
+                             uint64_t nplanes, uint8_t* syms, uint64_t n,
+                             int nthreads) {
+  std::vector<uint64_t> offs(nplanes);
+  uint64_t off = 0;
+  for (uint64_t i = 0; i < nplanes; ++i) {
+    offs[i] = off;
+    off += lens[i];
+  }
+  std::atomic<uint64_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      uint64_t i = next.fetch_add(1);
+      if (i >= nplanes) return;
+      wr::decode_plane(data + offs[i], lens[i], syms + i * n, n);
+    }
+  };
+  int nt = std::max(1, nthreads);
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
+}
+
+// --- wavelet --------------------------------------------------------------
+
+void wrn_wavelet3d(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
+                   int levels) {
+  if (levels >= 0)
+    wr::wavelet3d_forward(fld, nx, ny, nz, levels);
+  else
+    wr::wavelet3d_inverse(fld, nx, ny, nz, -levels);
+}
+
+void wrn_index_p2w(int levels, int n1, int n2, int n3, int i1, int i2, int i3,
+                   int* lvl, int* o1, int* o2, int* o3) {
+  wr::index_phys_to_wav(levels, n1, n2, n3, i1, i2, i3, lvl, o1, o2, o3);
+}
+
+// --- full field codec -----------------------------------------------------
+
+// fld is clobbered (wavelet + residuals), matching the reference contract.
+// data_enc must have capacity >= 8 * max(n, 1024) bytes.
+// Returns ntot_enc.
+uint64_t wrn_encode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
+                          int wtflag, int mx, int my, int mz,
+                          const double* cutoffvec, double* tolabs,
+                          double* midval, double* halfspanval, uint8_t* wlev,
+                          uint8_t* nlay, double* deps_vec, double* minval_vec,
+                          uint64_t* len_enc_vec, uint8_t* data_enc) {
+  wr::EncodeOut eo;
+  std::vector<wr::u8> payload;
+  payload.reserve(nx * ny * nz / 2 + 4096);
+  wr::encode_field(fld, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
+                   payload);
+  *tolabs = eo.tolabs;
+  *midval = eo.midval;
+  *halfspanval = eo.halfspanval;
+  *wlev = eo.wlev;
+  *nlay = eo.nlay;
+  std::memcpy(deps_vec, eo.deps_vec, sizeof(eo.deps_vec));
+  std::memcpy(minval_vec, eo.minval_vec, sizeof(eo.minval_vec));
+  std::memcpy(len_enc_vec, eo.len_enc_vec, sizeof(eo.len_enc_vec));
+  std::memcpy(data_enc, payload.data(), payload.size());
+  return payload.size();
+}
+
+void wrn_decode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
+                      double midval, uint8_t wlev, uint8_t nlay,
+                      uint64_t ntot_enc, const double* deps_vec,
+                      const double* minval_vec, const uint64_t* len_enc_vec,
+                      const uint8_t* data_enc) {
+  wr::decode_field(fld, nx, ny, nz, midval, wlev, nlay, ntot_enc, deps_vec,
+                   minval_vec, len_enc_vec, data_enc);
+}
+
+// --- misc -----------------------------------------------------------------
+
+int wrn_version() { return 10000; }  // waverange_tpu native ABI version
+}
