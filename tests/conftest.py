@@ -6,12 +6,17 @@ the codec's normative arithmetic is f64.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+# The axon sitecustomize force-registers the TPU backend and overwrites
+# jax_platforms; override it AFTER import, before any backend init.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import subprocess
 from pathlib import Path

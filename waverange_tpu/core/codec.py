@@ -1,0 +1,159 @@
+"""Codec orchestration: field-level encode/decode with pluggable backends.
+
+Backends:
+  * "native" — the C++ host pipeline. Bit-exact to the reference library
+    (ISO FP build; see tools/oracle/build_oracle.sh). The conformance
+    path, and the fastest single-field CPU path.
+  * "jax"    — device path: wavelet + byte-layer quantization on the
+    accelerator (XLA/Pallas), entropy stage on the host (C++ threads).
+    The TPU throughput path. Streams are format-identical and
+    tolerance-exact; symbol-level identity with the native path holds
+    except at round-off-limited tolerances (XLA contracts FMAs, the
+    normative ISO semantics do not — a documented deviation).
+  * "auto"   — "jax" when the default JAX backend is a real accelerator,
+    else "native".
+
+Contract reference: encoding_wrap/decoding_wrap
+(/root/reference/src/core/wrappers.cpp:228-527, wrappers.h:53-75).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import native as wn
+
+NLAYMAX = 8
+WAV_LVL = 4
+CODER_VERSION = 31503
+
+
+@dataclass
+class EncodedField:
+    """Codec metadata + payload for one field (mirrors the reference's
+    per-field header record; gen_aux.cpp:505-556)."""
+    nx: int
+    ny: int
+    nz: int
+    tolabs: float
+    midval: float
+    halfspanval: float
+    wlev: int
+    nlay: int
+    ntot_enc: int
+    deps_vec: np.ndarray       # (8,) f64
+    minval_vec: np.ndarray     # (8,) f64
+    len_enc_vec: np.ndarray    # (8,) u64
+    data: bytes = b""
+
+    @property
+    def shape_zyx(self) -> Tuple[int, int, int]:
+        return (self.nz, self.ny, self.nx)
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    try:
+        import jax
+        plat = jax.devices()[0].platform
+        return "jax" if plat not in ("cpu",) else "native"
+    except Exception:
+        return "native"
+
+
+def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
+                 cutoff: Optional[np.ndarray] = None,
+                 mx: int = 1, my: int = 1, mz: int = 1,
+                 backend: str = "native") -> EncodedField:
+    """Encode one (nz, ny, nx) field (f64 array or castable).
+
+    `tolrel` is the relative tolerance; `cutoff` optionally provides the
+    (mx, my, mz) local-cutoff block tolerances (reference wrappers.h:39-42;
+    effectively uniform — see SURVEY.md §2 ind_p2w_3d quirk).
+    """
+    backend = _resolve_backend(backend)
+    nz, ny, nx = fld.shape
+    if cutoff is None:
+        cutoff = np.array([tolrel], dtype=np.float64)
+    if backend == "jax":
+        meta = _encode_jax(fld, tolrel, wtflag=wtflag)
+    else:
+        meta = wn.encode_field(np.asarray(fld, np.float64), wtflag=wtflag,
+                               cutoff=cutoff, mx=mx, my=my, mz=mz)
+    return EncodedField(
+        nx=nx, ny=ny, nz=nz, tolabs=meta["tolabs"], midval=meta["midval"],
+        halfspanval=meta["halfspanval"], wlev=meta["wlev"],
+        nlay=meta["nlay"], ntot_enc=meta["ntot_enc"],
+        deps_vec=np.asarray(meta["deps_vec"], np.float64),
+        minval_vec=np.asarray(meta["minval_vec"], np.float64),
+        len_enc_vec=np.asarray(meta["len_enc_vec"], np.uint64),
+        data=meta["data"])
+
+
+def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
+    """Decode to an (nz, ny, nx) f64 array."""
+    backend = _resolve_backend(backend)
+    meta = dict(tolabs=enc.tolabs, midval=enc.midval,
+                halfspanval=enc.halfspanval, wlev=enc.wlev, nlay=enc.nlay,
+                ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
+                minval_vec=enc.minval_vec, len_enc_vec=enc.len_enc_vec,
+                data=enc.data)
+    if backend == "jax":
+        return _decode_jax(meta, enc.shape_zyx)
+    return wn.decode_field(meta, enc.shape_zyx)
+
+
+# ---------------------------------------------------------------------------
+# JAX device path
+# ---------------------------------------------------------------------------
+
+def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1) -> dict:
+    import jax.numpy as jnp
+    from ..ops.quant import encode_step
+
+    arr = jnp.asarray(np.asarray(fld, np.float64))
+    planes, deps, minv, nlay, tolabs, midval, halfspanval, trivial = (
+        encode_step(arr, jnp.float64(tolrel), wtflag=bool(wtflag)))
+    trivial = bool(trivial)
+    midval_f = float(midval)
+    halfspan_f = float(halfspanval)
+    if trivial:
+        return dict(tolabs=0.0, midval=midval_f, halfspanval=halfspan_f,
+                    wlev=0, nlay=0, ntot_enc=0,
+                    deps_vec=np.zeros(NLAYMAX), minval_vec=np.zeros(NLAYMAX),
+                    len_enc_vec=np.zeros(NLAYMAX, np.uint64), data=b"")
+    nlay_i = int(nlay)
+    planes_np = np.asarray(planes[:nlay_i])  # (nlay, ntot) uint8
+    payload, lens = wn.encode_planes_batch(planes_np)
+    deps_vec = np.zeros(NLAYMAX)
+    minv_vec = np.zeros(NLAYMAX)
+    len_vec = np.zeros(NLAYMAX, np.uint64)
+    deps_vec[:nlay_i] = np.asarray(deps[:nlay_i])
+    minv_vec[:nlay_i] = np.asarray(minv[:nlay_i])
+    len_vec[:nlay_i] = lens
+    return dict(tolabs=float(tolabs), midval=midval_f,
+                halfspanval=halfspan_f, wlev=WAV_LVL if wtflag else 0,
+                nlay=nlay_i,
+                ntot_enc=len(payload), deps_vec=deps_vec,
+                minval_vec=minv_vec, len_enc_vec=len_vec, data=payload)
+
+
+def _decode_jax(meta: dict, shape) -> np.ndarray:
+    import jax.numpy as jnp
+    from ..ops.quant import decode_step
+
+    nz, ny, nx = shape
+    n = nz * ny * nx
+    if meta["ntot_enc"] == 0:
+        return np.full(shape, meta["midval"])
+    nlay = int(meta["nlay"])
+    planes = wn.decode_planes_batch(meta["data"],
+                                    meta["len_enc_vec"][:nlay], n)
+    out = decode_step(jnp.asarray(planes),
+                      jnp.asarray(meta["deps_vec"][:nlay]),
+                      jnp.asarray(meta["minval_vec"][:nlay]),
+                      shape=(nz, ny, nx), levels=int(meta["wlev"]))
+    return np.asarray(out)
