@@ -1,0 +1,274 @@
+"""Distributed / multi-chip execution over a `jax.sharding.Mesh`.
+
+TPU-native replacements for the reference's file-level parallelism
+(SURVEY.md §2 item 5):
+
+  * **Field data-parallelism** — independent fields in one file are
+    sharded across chips (reference: sequential field loop,
+    gen_enc.cpp:538). `encode_fields_sharded` jits a vmapped encode step
+    with `NamedSharding(P("d"))` on the batch axis; each chip transforms
+    and quantizes its fields, the host range-codes all per-field layer
+    streams in a thread pool, preserving file order.
+
+  * **Subdomain data-parallelism (divided mode)** — one huge field is
+    split into z-slabs, each encoded as an independent subdomain stream
+    with deterministic ordering (reference: PROCID-sharded files,
+    mssg_enc.cpp:457-470). Bitstreams stay reference-compatible per
+    subdomain.
+
+  * **United mode** — one global field assembled from per-chip slabs:
+    global min/max via collectives inside `shard_map` and an
+    `all_gather` for the (whole-field) wavelet — the TPU equivalent of
+    the reference's gather-then-encode (mssg_enc.cpp:522-543), riding
+    ICI instead of the filesystem.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import native as wn
+from ..core.codec import NLAYMAX, WAV_LVL, EncodedField
+from ..ops.quant import _encode_step_impl, decode_step
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Batched (vmapped) encode/decode over a leading field axis
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("wtflag", "levels"))
+def _encode_batch(fields, tolrel, wav_acc, qalpha, wtflag=True, levels=4):
+    fn = partial(_encode_step_impl, wtflag=wtflag, levels=levels)
+    return jax.vmap(fn, in_axes=(0, None, None, None))(
+        fields, tolrel, wav_acc, qalpha)
+
+
+def encode_fields_sharded(fields: np.ndarray, tolrel: float,
+                          mesh: Optional[Mesh] = None, wtflag: int = 1,
+                          backend_threads: Optional[int] = None
+                          ) -> List[EncodedField]:
+    """Encode a batch of equally-shaped fields, sharded over the mesh.
+
+    fields: (B, nz, ny, nx). B should be a multiple of the mesh size for
+    even sharding (padding is handled by replicating the last field and
+    dropping its result).
+    """
+    B, nz, ny, nx = fields.shape
+    n = nz * ny * nx
+    dtype = jnp.float64
+    arr = np.asarray(fields, np.float64)
+    pad = 0
+    if mesh is not None:
+        d = mesh.devices.size
+        pad = (-B) % d
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)], 0)
+    xs = jnp.asarray(arr, dtype)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        xs = jax.device_put(xs, sh)
+    planes, deps, minv, nlay, tolabs, midval, halfspan, trivial = (
+        _encode_batch(xs, jnp.asarray(tolrel, dtype),
+                      jnp.asarray(1.75, dtype),
+                      jnp.asarray(255.0, dtype), wtflag=bool(wtflag)))
+    # Host side: gather + entropy-code every (field, layer) stream.
+    planes = np.asarray(planes)[:B]
+    nlay = np.asarray(nlay)[:B]
+    deps = np.asarray(deps)[:B]
+    minv = np.asarray(minv)[:B]
+    tolabs = np.asarray(tolabs)[:B]
+    midval = np.asarray(midval)[:B]
+    halfspan = np.asarray(halfspan)[:B]
+    trivial = np.asarray(trivial)[:B]
+
+    # Flatten all valid (field, layer) planes into one batch for the
+    # thread-parallel coder.
+    idx = [(b, l) for b in range(B) if not trivial[b]
+           for l in range(int(nlay[b]))]
+    if idx:
+        flat = np.stack([planes[b, l] for (b, l) in idx])
+        payload, lens = wn.encode_planes_batch(flat,
+                                               nthreads=backend_threads)
+        payload = np.frombuffer(payload, np.uint8)
+    offs = np.zeros(len(idx) + 1, np.int64)
+    if idx:
+        offs[1:] = np.cumsum(lens.astype(np.int64))
+    out: List[EncodedField] = []
+    k = 0
+    for b in range(B):
+        deps_vec = np.zeros(NLAYMAX)
+        minv_vec = np.zeros(NLAYMAX)
+        len_vec = np.zeros(NLAYMAX, np.uint64)
+        if trivial[b]:
+            out.append(EncodedField(
+                nx=nx, ny=ny, nz=nz, tolabs=0.0, midval=float(midval[b]),
+                halfspanval=float(halfspan[b]), wlev=0, nlay=0, ntot_enc=0,
+                deps_vec=deps_vec, minval_vec=minv_vec, len_enc_vec=len_vec,
+                data=b""))
+            continue
+        nl = int(nlay[b])
+        chunks = []
+        for l in range(nl):
+            b2, l2 = idx[k]
+            assert (b2, l2) == (b, l)
+            chunks.append(payload[offs[k]:offs[k + 1]].tobytes())
+            len_vec[l] = offs[k + 1] - offs[k]
+            k += 1
+        deps_vec[:nl] = deps[b, :nl]
+        minv_vec[:nl] = minv[b, :nl]
+        data = b"".join(chunks)
+        out.append(EncodedField(
+            nx=nx, ny=ny, nz=nz, tolabs=float(tolabs[b]),
+            midval=float(midval[b]), halfspanval=float(halfspan[b]),
+            wlev=WAV_LVL if wtflag else 0, nlay=nl, ntot_enc=len(data),
+            deps_vec=deps_vec, minval_vec=minv_vec, len_enc_vec=len_vec,
+            data=data))
+    return out
+
+
+def decode_fields_sharded(encs: Sequence[EncodedField],
+                          mesh: Optional[Mesh] = None,
+                          backend_threads: Optional[int] = None
+                          ) -> np.ndarray:
+    """Decode equally-shaped fields: host entropy-decode (threaded), then
+    a sharded device accumulate+inverse-wavelet batch."""
+    B = len(encs)
+    nz, ny, nx = encs[0].shape_zyx
+    n = nz * ny * nx
+    # entropy-decode all layers of all fields in one threaded batch
+    idx = [(b, l) for b, e in enumerate(encs) for l in range(e.nlay)]
+    all_lens = np.array([encs[b].len_enc_vec[l] for (b, l) in idx],
+                        np.uint64)
+    blob = b"".join(encs[b].data for b in range(B))
+    planes_flat = (wn.decode_planes_batch(blob, all_lens, n,
+                                          nthreads=backend_threads)
+                   if idx else np.zeros((0, n), np.uint8))
+    planes = np.zeros((B, NLAYMAX, n), np.uint8)
+    deps = np.zeros((B, NLAYMAX))
+    minv = np.zeros((B, NLAYMAX))
+    k = 0
+    for (b, l) in idx:
+        planes[b, l] = planes_flat[k]
+        k += 1
+    for b, e in enumerate(encs):
+        deps[b, :e.nlay] = e.deps_vec[:e.nlay]
+        minv[b, :e.nlay] = e.minval_vec[:e.nlay]
+
+    xs = jnp.asarray(planes)
+    if mesh is not None:
+        # batch must divide evenly for sharding; replicate-pad
+        d = mesh.devices.size
+        pad = (-B) % d
+        if pad:
+            xs = jnp.concatenate([xs, jnp.repeat(xs[-1:], pad, 0)], 0)
+            deps = np.concatenate([deps, np.repeat(deps[-1:], pad, 0)], 0)
+            minv = np.concatenate([minv, np.repeat(minv[-1:], pad, 0)], 0)
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        xs = jax.device_put(xs, sh)
+    fn = jax.jit(jax.vmap(partial(decode_step, shape=(nz, ny, nx),
+                                  levels=WAV_LVL)))
+    out = np.asarray(fn(xs, jnp.asarray(deps), jnp.asarray(minv)))[:B]
+    for b, e in enumerate(encs):
+        if e.ntot_enc == 0:
+            out[b] = e.midval
+        elif e.wlev == 0:
+            # re-run without wavelet for wtflag=0 fields (rare path)
+            acc = (planes[b, :e.nlay].astype(np.float64)
+                   * deps[b, :e.nlay, None]
+                   + minv[b, :e.nlay, None]).sum(0)
+            out[b] = acc.reshape(nz, ny, nx)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Divided mode: one big field -> per-chip z-slab subdomains
+# ---------------------------------------------------------------------------
+
+def encode_field_divided(fld: np.ndarray, tolrel: float,
+                         n_blocks: Optional[int] = None,
+                         mesh: Optional[Mesh] = None,
+                         wtflag: int = 1) -> List[EncodedField]:
+    """Split (nz, ny, nx) into z-slabs and encode each independently
+    (the reference's backup-divided semantics, PROCID == slab index)."""
+    nz = fld.shape[0]
+    if n_blocks is None:
+        n_blocks = mesh.devices.size if mesh is not None else 1
+    assert nz % n_blocks == 0, "nz must divide into equal slabs"
+    slabs = np.stack(np.split(np.asarray(fld, np.float64), n_blocks, 0))
+    return encode_fields_sharded(slabs, tolrel, mesh=mesh, wtflag=wtflag)
+
+
+def decode_field_divided(encs: Sequence[EncodedField],
+                         mesh: Optional[Mesh] = None) -> np.ndarray:
+    slabs = decode_fields_sharded(encs, mesh=mesh)
+    return np.concatenate(list(slabs), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# United mode: global field from per-chip slabs, with real collectives
+# ---------------------------------------------------------------------------
+
+def united_encode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
+    """Build a jitted united-mode encode step over `mesh`.
+
+    Input: per-chip z-slabs (D, nz/D, ny, nx) sharded over the mesh.
+    Inside shard_map: global min/max via ICI collectives (the TPU
+    equivalent of the reference's shared quantization parameters), then
+    an all_gather assembles the global field for the whole-field wavelet
+    + byte-layer quantization (mssg united gather, mssg_enc.cpp:522-543).
+    Returns a function (slabs, tolrel) -> (planes, deps, minv, nlay,
+    tolabs, midval, halfspan, trivial).
+    """
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    nz, ny, nx = shape
+
+    def step(slabs, tolrel, wav_acc, qalpha):
+        def local(sl, tolrel, wav_acc, qalpha):
+            # sl: (nz/D, ny, nx) local slab
+            lmn = jnp.min(sl)
+            lmx = jnp.max(sl)
+            gmn = jax.lax.pmin(lmn, axis)
+            gmx = jax.lax.pmax(lmx, axis)
+            full = jax.lax.all_gather(sl, axis, axis=0, tiled=True)
+            return (full, gmn, gmx)
+
+        full, gmn, gmx = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None, None), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(slabs, tolrel, wav_acc, qalpha)
+        halfspan = (gmx - gmn) / 2
+        midval = gmn + halfspan
+        trivial = halfspan <= jnp.asarray(4.4501477170144023e-308,
+                                          full.dtype)
+        from ..ops.wavelet import cdf97_forward
+        from ..ops.quant import quantize_layers
+        w = cdf97_forward(full, levels)
+        tolabs = tolrel * jnp.maximum(jnp.abs(gmn), jnp.abs(gmx)) / wav_acc
+        planes, deps, minv, nlay = quantize_layers(w.ravel(), tolabs,
+                                                   qalpha)
+        return planes, deps, minv, nlay, tolabs, midval, halfspan, trivial
+
+    jitted = jax.jit(step)
+
+    def run(slabs, tolrel):
+        dtype = slabs.dtype
+        return jitted(slabs, jnp.asarray(tolrel, dtype),
+                      jnp.asarray(1.75, dtype), jnp.asarray(255.0, dtype))
+
+    return run
