@@ -1,0 +1,129 @@
+"""FluSI/HDF5 interface tests.
+
+The reference flusi binaries need HDF5 headers that aren't available
+here, so instead of binary goldens these tests pin the *structural*
+contract (dataset/attribute names, dtypes, shapes — which is what the
+reference reads through the HDF5 library) and verify the payload bytes
+against the already-oracle-validated core codec.
+"""
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from waverange_tpu.core import codec
+from waverange_tpu.io.flusi import (BACKUP_DATASETS, encode_flusi_file,
+                                    decode_flusi_file)
+
+from conftest import smooth_field
+
+
+def make_regular_input(path, shape=(16, 12, 8), name="ux_00010"):
+    nz, ny, nx = shape
+    fld = smooth_field(shape)
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset(name, data=fld)
+        d.attrs.create("time", np.array([1.25]))
+        d.attrs.create("viscosity", np.array([1e-3]))
+        d.attrs.create("epsi", np.array([0.1]))
+        d.attrs.create("domain_size", np.array([2.0, 1.0, 0.5]))
+        d.attrs.create("nxyz", np.array([nx, ny, nz], np.int32))
+    return fld, name
+
+
+def test_regular_roundtrip_and_structure(tmp_path):
+    fld, name = make_regular_input(tmp_path / "in.h5")
+    nz, ny, nx = fld.shape
+    encode_flusi_file(str(tmp_path / "in.h5"), str(tmp_path / "enc.h5"),
+                      0, 1e-7, verbose=False)
+    with h5py.File(tmp_path / "enc.h5", "r") as f:
+        assert list(f.keys()) == [name]
+        d = f[name]
+        # encoded payload: 1-D uint8 dataset
+        assert d.dtype == np.uint8 and d.ndim == 1
+        # codec attribute schema (hdf5_interfaces.cpp:283-441)
+        for k, dt in [("coder_version", np.int32), ("tolabs", np.float64),
+                      ("midval", np.float64), ("halfspanval", np.float64),
+                      ("wlev", np.uint8), ("nlay", np.uint8),
+                      ("ntot_enc", np.uint64)]:
+            assert k in d.attrs, k
+            assert d.attrs[k].dtype == dt, (k, d.attrs[k].dtype)
+        nlay = int(d.attrs["nlay"][0])
+        assert d.attrs["deps_vec"].shape == (nlay,)
+        assert d.attrs["len_enc_vec"].dtype == np.uint64
+        # propagated FluSI attributes
+        for k in ("time", "viscosity", "epsi", "domain_size", "nxyz"):
+            assert k in d.attrs
+        # payload bit-exact vs the conformance codec
+        ref = codec.encode_field(fld, 1e-7, backend="native")
+        assert bytes(d[...].tobytes()) == ref.data
+        assert float(d.attrs["tolabs"][0]) == ref.tolabs
+
+    decode_flusi_file(str(tmp_path / "enc.h5"), str(tmp_path / "dec.h5"),
+                      0, iouttype=2, verbose=False)
+    with h5py.File(tmp_path / "dec.h5", "r") as f:
+        rec = np.asarray(f[name])
+        assert rec.dtype == np.float64
+        assert rec.shape == (nz, ny, nx)
+        # matches the conformance decode bit for bit
+        ref_dec = codec.decode_field(ref, backend="native")
+        assert np.array_equal(rec, ref_dec)
+        assert np.abs(rec - fld).max() <= 1.3e-7 * np.abs(fld).max()
+
+
+def test_regular_float_output(tmp_path):
+    fld, name = make_regular_input(tmp_path / "in.h5", shape=(8, 8, 8))
+    encode_flusi_file(str(tmp_path / "in.h5"), str(tmp_path / "enc.h5"),
+                      0, 1e-5, verbose=False)
+    decode_flusi_file(str(tmp_path / "enc.h5"), str(tmp_path / "dec.h5"),
+                      0, iouttype=1, verbose=False)
+    with h5py.File(tmp_path / "dec.h5", "r") as f:
+        assert f[name].dtype == np.float32
+
+
+def make_backup_input(path, shape=(8, 10, 12), names=("ux", "uy", "uz",
+                                                      "scalar1")):
+    nz, ny, nx = shape
+    fields = {}
+    with h5py.File(path, "w") as f:
+        for i, n in enumerate(names):
+            fld = smooth_field(shape) * (1 + 0.2 * i)
+            if n == "scalar1":
+                fld = np.full(shape, 3.25)  # trivial dataset
+            d = f.create_dataset(n, data=fld)
+            bckp = np.array([1.5, 1e-3, 1e-3, 2.0, 100.0,
+                             nx, ny, nz], np.float64)
+            d.attrs.create("bckp", bckp)
+            fields[n] = fld
+    return fields
+
+
+def test_backup_roundtrip(tmp_path):
+    fields = make_backup_input(tmp_path / "in.h5")
+    encode_flusi_file(str(tmp_path / "in.h5"), str(tmp_path / "enc.h5"),
+                      1, 1e-6, verbose=False)
+    with h5py.File(tmp_path / "enc.h5", "r") as f:
+        # only existing datasets processed, in table order
+        assert set(f.keys()) == set(fields.keys())
+        for n in fields:
+            assert "bckp" in f[n].attrs
+            assert "coder_version" in f[n].attrs
+        # trivial dataset: empty payload, ntot_enc == 0
+        assert f["scalar1"].shape == (0,)
+        assert int(f["scalar1"].attrs["ntot_enc"][0]) == 0
+        assert "deps_vec" not in f["scalar1"].attrs
+    decode_flusi_file(str(tmp_path / "enc.h5"), str(tmp_path / "dec.h5"),
+                      1, iouttype=2, verbose=False)
+    with h5py.File(tmp_path / "dec.h5", "r") as f:
+        for n, fld in fields.items():
+            rec = np.asarray(f[n])
+            assert np.abs(rec - fld).max() <= 1.3e-6 * \
+                max(np.abs(fld).max(), 1e-30)
+
+
+def test_backup_dataset_table():
+    assert len(BACKUP_DATASETS) == 50
+    assert BACKUP_DATASETS[0] == "ux"
+    assert BACKUP_DATASETS[18] == "scalar1"
+    assert BACKUP_DATASETS[-1] == "Z_avg"
+    assert "scalar9_nlk1" in BACKUP_DATASETS
