@@ -49,15 +49,19 @@ def make_field(n):
     return fld
 
 
-def bench_native(fld, tol):
+def bench_native(fld, tol, reps=3):
+    """Best-of-N: this VM suffers multi-second CPU-steal bursts, so the
+    minimum is the closest estimate of true capability."""
     from waverange_tpu import native as wn
 
-    t0 = time.time()
-    meta = wn.encode_field(fld, wtflag=1, cutoff=np.array([tol]))
-    enc_t = time.time() - t0
-    t0 = time.time()
-    rec = wn.decode_field(meta, fld.shape)
-    dec_t = time.time() - t0
+    enc_t = dec_t = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        meta = wn.encode_field(fld, wtflag=1, cutoff=np.array([tol]))
+        enc_t = min(enc_t, time.time() - t0)
+        t0 = time.time()
+        rec = wn.decode_field(meta, fld.shape)
+        dec_t = min(dec_t, time.time() - t0)
     err = float(np.abs(rec - fld).max())
     return dict(encode_s=enc_t, decode_s=dec_t, nbytes_in=fld.nbytes,
                 nbytes_out=meta["ntot_enc"], err=err, nlay=meta["nlay"])
@@ -203,8 +207,11 @@ def main():
     # reference baseline
     ref = None
     if os.environ.get("WR_BENCH_SKIP_REF") != "1":
-        log("reference wrenc baseline...")
-        ref = bench_reference(fld, tol, REPO / "build" / "bench")
+        log("reference wrenc baseline (best of 2)...")
+        r1 = bench_reference(fld, tol, REPO / "build" / "bench")
+        r2 = bench_reference(fld, tol, REPO / "build" / "bench")
+        cands = [r for r in (r1, r2) if r]
+        ref = min(cands, key=lambda r: r["encode_s"]) if cands else None
         if ref:
             log(f"  encode {ref['encode_s']:.2f}s "
                 f"({gib/ref['encode_s']:.3f} GB/s), ratio "

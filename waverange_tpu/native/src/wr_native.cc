@@ -27,6 +27,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <chrono>
+#include <cstdlib>
+#include <cstdio>
 
 namespace wr {
 
@@ -50,13 +53,16 @@ constexpr int kWavLevels = 4;           // wavelet depth (WAV_LVL)
 constexpr double kWavAccCoef = 1.75;    // tolerance derating (WAV_ACC_COEF)
 
 // ----------------------------------------------------------------------------
-// Encoder: writes into a caller-provided growable byte vector.
+// Encoder: writes through a raw pointer into a caller-sized buffer (the
+// caller bounds the worst case; no per-byte capacity checks).
 // ----------------------------------------------------------------------------
 class RangeEncoder {
  public:
-  explicit RangeEncoder(std::vector<u8>& out, u8 first_byte = 0)
-      : out_(out), low_(0), range_(kTopValue), pending_ff_(0),
+  explicit RangeEncoder(u8* out, u8 first_byte = 0)
+      : out_(out), pos_(0), low_(0), range_(kTopValue), pending_ff_(0),
         cache_(first_byte), nbytes_(0) {}
+
+  u64 bytes_written() const { return pos_; }
 
   // Encode symbol occupying [lt, lt+sy) of a total-frequency-tot model.
   inline void encode(u32 sy, u32 lt, u32 tot) {
@@ -87,6 +93,14 @@ class RangeEncoder {
 
   // Flush: emits the cache, pending bytes, a rounding byte and a 24-bit
   // running byte count (the classic 5-byte rngcod tail used for recovery).
+  // Move written bytes out of the scratch window (coder state continues;
+  // mirrors the reference's per-block databuf drain, wrappers.cpp:119-124).
+  u64 drain() {
+    u64 w = pos_;
+    pos_ = 0;
+    return w;
+  }
+
   u64 finish() {
     normalize();
     nbytes_ += 5;
@@ -110,7 +124,7 @@ class RangeEncoder {
   }
 
  private:
-  inline void emit(u8 b) { out_.push_back(b); }
+  inline void emit(u8 b) { out_[pos_++] = b; }
   inline void flush_pending(u8 b) {
     for (; pending_ff_; --pending_ff_) emit(b);
   }
@@ -133,7 +147,8 @@ class RangeEncoder {
     }
   }
 
-  std::vector<u8>& out_;
+  u8* out_;
+  u64 pos_;
   u32 low_, range_;
   u64 pending_ff_;
   u8 cache_;
@@ -215,8 +230,12 @@ class RangeDecoder {
 //   When n % 60000 == 0 an empty block (256 zero counts) is emitted before
 //   the end marker — part of the bitstream contract.
 // ----------------------------------------------------------------------------
+// Appends the plane's stream to `out`. The coder writes through a small
+// per-block scratch (worst case < 2 bytes/symbol + 514 bytes of model
+// data) that stays cache-hot; `out` grows to the actual stream size only.
 void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
-  RangeEncoder enc(out, 0);
+  std::vector<u8> scratch(2 * kBlockSymbols + 4096);
+  RangeEncoder enc(scratch.data(), 0);
   u32 counts[257];
   u64 pos = 0;
   for (;;) {
@@ -237,11 +256,15 @@ void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
       u8 ch = p[i];
       enc.encode(counts[ch + 1] - counts[ch], counts[ch], u32(bs));
     }
+    u64 w = enc.drain();
+    out.insert(out.end(), scratch.data(), scratch.data() + w);
     pos += bs;
     if (bs < kBlockSymbols) break;  // short (or empty) block terminates
   }
   enc.encode(1, 0, 2);  // end marker
   enc.finish();
+  u64 w = enc.drain();
+  out.insert(out.end(), scratch.data(), scratch.data() + w);
 }
 
 // Returns number of symbols decoded (should equal expected n).
@@ -347,52 +370,223 @@ struct Dim3 {
   u64 nx, ny, nz;
 };
 
-// Apply forward lifting along one axis of the active sub-box (n1,n2,n3) of
-// the full array (stride layout from full dims).
-static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
-  const u64 sx = 1, sy = full.nx, sz = full.nx * full.ny;
-  u64 n, stride, c1, c2, s1, s2;
-  if (axis == 0) {
-    n = act.nx; stride = sx; c1 = act.ny; s1 = sy; c2 = act.nz; s2 = sz;
-  } else if (axis == 1) {
-    n = act.ny; stride = sy; c1 = act.nx; s1 = sx; c2 = act.nz; s2 = sz;
-  } else {
-    n = act.nz; stride = sz; c1 = act.nx; s1 = sx; c2 = act.ny; s2 = sy;
-  }
-  if (n <= 1) return;
+// ---------------------------------------------------------------------------
+// Slab-vectorized sweeps for the y and z axes.
+//
+// Per-line gathers with power-of-two strides (e.g. 256^3) alias into a
+// single cache set and collapse throughput ~50x. Instead, a sweep along a
+// non-contiguous axis processes a whole 2-D slab at once: rows of `w`
+// contiguous doubles are gathered with memcpy, the four lifting stages run
+// elementwise across each row (auto-vectorized over x), and rows scatter
+// back with the scale factors. Per-element operation ORDER is identical to
+// the per-line code — every lifting op is elementwise along the line
+// direction, so vectorizing across x preserves bit-exactness.
+// ---------------------------------------------------------------------------
+
+// Forward-lift along the row axis of a slab: n rows at base + i*rs, each
+// w contiguous doubles. lo/hi are (m x w) scratch buffers.
+static void lift_slab_fwd(double* base, u64 n, u64 w, u64 rs, double* lo,
+                          double* hi) {
   const u64 m = n / 2 + (n % 2);
-  std::vector<double> v(n), lo(m), hi(m), out(n);
-  for (u64 j2 = 0; j2 < c2; ++j2) {
-    for (u64 j1 = 0; j1 < c1; ++j1) {
-      double* base = fld + j1 * s1 + j2 * s2;
-      for (u64 i = 0; i < n; ++i) v[i] = base[i * stride];
-      lift_line_fwd(v.data(), n, lo.data(), hi.data(), out.data());
-      for (u64 i = 0; i < n; ++i) base[i * stride] = out[i];
-    }
+  for (u64 i = 0; i < m; ++i)
+    std::memcpy(lo + i * w, base + (2 * i) * rs, w * sizeof(double));
+  for (u64 i = 0; 2 * i + 1 < n; ++i)
+    std::memcpy(hi + i * w, base + (2 * i + 1) * rs, w * sizeof(double));
+  if (n % 2) {
+    ExtCoef e = ext_coeffs();
+    double* hm1 = hi + (m - 1) * w;
+    const double* lm2 = lo + (m - 2) * w;
+    const double* hm2 = hi + (m - 2) * w;
+    const double* lm1 = lo + (m - 1) * w;
+    for (u64 x = 0; x < w; ++x)
+      hm1[x] = lm2[x] * e.a + hm2[x] * e.b + lm1[x] * e.c;
+  }
+  // stage 1: hi += l0*(lo_next + lo), tail doubled
+  for (u64 i = 0; i + 1 < m; ++i) {
+    double* h = hi + i * w;
+    const double* l0p = lo + i * w;
+    const double* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += kLift[0] * (l1p[x] + l0p[x]);
+  }
+  {
+    double* h = hi + (m - 1) * w;
+    const double* l = lo + (m - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += kLift[0] * 2 * l[x];
+  }
+  // stage 2: lo += l1*(hi + hi_prev), head doubled
+  {
+    double* l = lo;
+    const double* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] += kLift[1] * 2 * h[x];
+  }
+  for (u64 i = 1; i < m; ++i) {
+    double* l = lo + i * w;
+    const double* h0 = hi + i * w;
+    const double* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] += kLift[1] * (h0[x] + hm[x]);
+  }
+  // stage 3
+  for (u64 i = 0; i + 1 < m; ++i) {
+    double* h = hi + i * w;
+    const double* l0p = lo + i * w;
+    const double* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += kLift[2] * (l1p[x] + l0p[x]);
+  }
+  {
+    double* h = hi + (m - 1) * w;
+    const double* l = lo + (m - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += kLift[2] * 2 * l[x];
+  }
+  // stage 4
+  {
+    double* l = lo;
+    const double* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] += kLift[3] * 2 * h[x];
+  }
+  for (u64 i = 1; i < m; ++i) {
+    double* l = lo + i * w;
+    const double* h0 = hi + i * w;
+    const double* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] += kLift[3] * (h0[x] + hm[x]);
+  }
+  // scatter with scaling: [lo*s | hi/s]
+  for (u64 i = 0; i < m; ++i) {
+    double* dst = base + i * rs;
+    const double* l = lo + i * w;
+    for (u64 x = 0; x < w; ++x) dst[x] = l[x] * kScale;
+  }
+  for (u64 i = 0; 2 * i + 1 < n; ++i) {
+    double* dst = base + (i + m) * rs;
+    const double* h = hi + i * w;
+    for (u64 x = 0; x < w; ++x) dst[x] = h[x] * kScaleInv;
   }
 }
 
-static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
-  const u64 sx = 1, sy = full.nx, sz = full.nx * full.ny;
-  u64 n, stride, c1, c2, s1, s2;
-  if (axis == 0) {
-    n = act.nx; stride = sx; c1 = act.ny; s1 = sy; c2 = act.nz; s2 = sz;
-  } else if (axis == 1) {
-    n = act.ny; stride = sy; c1 = act.nx; s1 = sx; c2 = act.nz; s2 = sz;
-  } else {
-    n = act.nz; stride = sz; c1 = act.nx; s1 = sx; c2 = act.ny; s2 = sy;
+// Inverse-lift along the row axis of a slab (n rows).
+static void lift_slab_inv(double* base, u64 n, u64 w, u64 rs, double* lo,
+                          double* hi) {
+  const u64 q = n / 2 + (n % 2);
+  for (u64 i = 0; i < q; ++i) {
+    double* l = lo + i * w;
+    const double* src = base + i * rs;
+    for (u64 x = 0; x < w; ++x) l[x] = src[x] * kScaleInv;
   }
+  for (u64 i = 0; i < n - q; ++i) {
+    double* h = hi + i * w;
+    const double* src = base + (i + q) * rs;
+    for (u64 x = 0; x < w; ++x) h[x] = src[x] * kScale;
+  }
+  if (n % 2)
+    std::memset(hi + (q - 1) * w, 0, w * sizeof(double));
+  // stage 1: lo -= l3*(hi + hi_prev), head doubled
+  {
+    double* l = lo;
+    const double* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] -= kLift[3] * 2 * h[x];
+  }
+  for (u64 i = 1; i < q; ++i) {
+    double* l = lo + i * w;
+    const double* h0 = hi + i * w;
+    const double* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] -= kLift[3] * (h0[x] + hm[x]);
+  }
+  // stage 2: hi -= l2*(lo_next + lo), tail doubled
+  for (u64 i = 0; i + 1 < q; ++i) {
+    double* h = hi + i * w;
+    const double* l0p = lo + i * w;
+    const double* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= kLift[2] * (l1p[x] + l0p[x]);
+  }
+  {
+    double* h = hi + (q - 1) * w;
+    const double* l = lo + (q - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= kLift[2] * 2 * l[x];
+  }
+  // stage 3
+  {
+    double* l = lo;
+    const double* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] -= kLift[1] * 2 * h[x];
+  }
+  for (u64 i = 1; i < q; ++i) {
+    double* l = lo + i * w;
+    const double* h0 = hi + i * w;
+    const double* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] -= kLift[1] * (h0[x] + hm[x]);
+  }
+  // stage 4
+  for (u64 i = 0; i + 1 < q; ++i) {
+    double* h = hi + i * w;
+    const double* l0p = lo + i * w;
+    const double* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= kLift[0] * (l1p[x] + l0p[x]);
+  }
+  {
+    double* h = hi + (q - 1) * w;
+    const double* l = lo + (q - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= kLift[0] * 2 * l[x];
+  }
+  // re-interleave
+  for (u64 i = 0; i < q; ++i)
+    std::memcpy(base + (2 * i) * rs, lo + i * w, w * sizeof(double));
+  for (u64 i = 0; 2 * i + 1 < n; ++i)
+    std::memcpy(base + (2 * i + 1) * rs, hi + i * w, w * sizeof(double));
+}
+
+// Apply forward lifting along one axis of the active sub-box (n1,n2,n3) of
+// the full array (stride layout from full dims).
+static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
+  const u64 sy = full.nx, sz = full.nx * full.ny;
+  if (axis == 0) {
+    const u64 n = act.nx;
+    if (n <= 1) return;
+    const u64 m = n / 2 + (n % 2);
+    std::vector<double> lo(m), hi(m), out(n);
+    for (u64 j2 = 0; j2 < act.nz; ++j2)
+      for (u64 j1 = 0; j1 < act.ny; ++j1) {
+        double* line = fld + j1 * sy + j2 * sz;
+        lift_line_fwd(line, n, lo.data(), hi.data(), out.data());
+        std::memcpy(line, out.data(), n * sizeof(double));
+      }
+    return;
+  }
+  const u64 n = (axis == 1) ? act.ny : act.nz;
+  if (n <= 1) return;
+  const u64 m = n / 2 + (n % 2);
+  const u64 w = act.nx;
+  const u64 rs = (axis == 1) ? sy : sz;
+  const u64 c = (axis == 1) ? act.nz : act.ny;
+  const u64 cstride = (axis == 1) ? sz : sy;
+  std::vector<double> lo(m * w), hi(m * w);
+  for (u64 j = 0; j < c; ++j)
+    lift_slab_fwd(fld + j * cstride, n, w, rs, lo.data(), hi.data());
+}
+
+static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
+  const u64 sy = full.nx, sz = full.nx * full.ny;
+  if (axis == 0) {
+    const u64 n = act.nx;
+    if (n <= 1) return;
+    const u64 q = n / 2 + (n % 2);
+    std::vector<double> lo(q), hi(q), out(n);
+    for (u64 j2 = 0; j2 < act.nz; ++j2)
+      for (u64 j1 = 0; j1 < act.ny; ++j1) {
+        double* line = fld + j1 * sy + j2 * sz;
+        lift_line_inv(line, n, lo.data(), hi.data(), out.data());
+        std::memcpy(line, out.data(), n * sizeof(double));
+      }
+    return;
+  }
+  const u64 n = (axis == 1) ? act.ny : act.nz;
   if (n <= 1) return;
   const u64 q = n / 2 + (n % 2);
-  std::vector<double> v(n), lo(q), hi(q), out(n);
-  for (u64 j2 = 0; j2 < c2; ++j2) {
-    for (u64 j1 = 0; j1 < c1; ++j1) {
-      double* base = fld + j1 * s1 + j2 * s2;
-      for (u64 i = 0; i < n; ++i) v[i] = base[i * stride];
-      lift_line_inv(v.data(), n, lo.data(), hi.data(), out.data());
-      for (u64 i = 0; i < n; ++i) base[i * stride] = out[i];
-    }
-  }
+  const u64 w = act.nx;
+  const u64 rs = (axis == 1) ? sy : sz;
+  const u64 c = (axis == 1) ? act.nz : act.ny;
+  const u64 cstride = (axis == 1) ? sz : sy;
+  std::vector<double> lo(q * w), hi(q * w);
+  for (u64 j = 0; j < c; ++j)
+    lift_slab_inv(fld + j * cstride, n, w, rs, lo.data(), hi.data());
 }
 
 static inline u64 halve_up(u64 n) { return n / 2 + (n % 2); }
@@ -462,6 +656,33 @@ void index_phys_to_wav(int levels, int n1, int n2, int n3, int i1, int i2,
 // ----------------------------------------------------------------------------
 // Quantization layers.
 // ----------------------------------------------------------------------------
+
+// Vectorizable min/max scan. Uses compare-select (maps to vminpd/vmaxpd),
+// which equals the reference's sequential fmin/fmax for NaN-free data —
+// the codec's domain (CFD fields; NaN inputs are out of contract).
+static inline void minmax_scan(const double* p, u64 n, double* mn_out,
+                               double* mx_out) {
+  double mn0 = p[0], mx0 = p[0], mn1 = p[0], mx1 = p[0];
+  double mn2 = p[0], mx2 = p[0], mn3 = p[0], mx3 = p[0];
+  u64 j = 0;
+  for (; j + 4 <= n; j += 4) {
+    double a = p[j], b = p[j + 1], c = p[j + 2], d = p[j + 3];
+    mn0 = a < mn0 ? a : mn0; mx0 = a > mx0 ? a : mx0;
+    mn1 = b < mn1 ? b : mn1; mx1 = b > mx1 ? b : mx1;
+    mn2 = c < mn2 ? c : mn2; mx2 = c > mx2 ? c : mx2;
+    mn3 = d < mn3 ? d : mn3; mx3 = d > mx3 ? d : mx3;
+  }
+  for (; j < n; ++j) {
+    double a = p[j];
+    mn0 = a < mn0 ? a : mn0;
+    mx0 = a > mx0 ? a : mx0;
+  }
+  mn0 = mn1 < mn0 ? mn1 : mn0; mx0 = mx1 > mx0 ? mx1 : mx0;
+  mn2 = mn3 < mn2 ? mn3 : mn2; mx2 = mx3 > mx2 ? mx3 : mx2;
+  *mn_out = mn2 < mn0 ? mn2 : mn0;
+  *mx_out = mx2 > mx0 ? mx2 : mx0;
+}
+
 struct LayerResult {
   double deps;
   double minval;
@@ -472,11 +693,8 @@ struct LayerResult {
 // place; uniform-cutoff fast path.
 static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
                                   int ilay) {
-  double mn = fld[0], mx = fld[0];
-  for (u64 j = 1; j < n; ++j) {
-    mn = std::fmin(mn, fld[j]);
-    mx = std::fmax(mx, fld[j]);
-  }
+  double mn, mx;
+  minmax_scan(fld, n, &mn, &mx);
   double deps = (mx - mn) / 255.0;
   bool last = false;
   if (deps < tolabs) {
@@ -501,11 +719,8 @@ static LayerResult quantize_layer_masked(double* fld, u8* syms, u64 nx, u64 ny,
                                          int wlev, int mx, int my, int mz,
                                          const double* cutoffvec, int ilay) {
   const u64 n = nx * ny * nz;
-  double mn = fld[0], mxv = fld[0];
-  for (u64 j = 1; j < n; ++j) {
-    mn = std::fmin(mn, fld[j]);
-    mxv = std::fmax(mxv, fld[j]);
-  }
+  double mn, mxv;
+  minmax_scan(fld, n, &mn, &mxv);
   double deps = (mxv - mn) / 255.0;
   bool last = false;
   if (deps < tolabs) {
@@ -562,11 +777,8 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
   std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
 
-  double mn = fld[0], mx_ = fld[0];
-  for (u64 j = 0; j < n; ++j) {
-    mn = std::fmin(mn, fld[j]);
-    mx_ = std::fmax(mx_, fld[j]);
-  }
+  double mn, mx_;
+  minmax_scan(fld, n, &mn, &mx_);
   out->halfspanval = (mx_ - mn) / 2;
   out->midval = mn + out->halfspanval;
   if (out->halfspanval <= 2 * DBL_MIN) {
@@ -582,22 +794,55 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
   out->tolabs = tolrel * std::fmax(std::fabs(mn), std::fabs(mx_)) / kWavAccCoef;
 
-  std::vector<u8> syms(n);
+  // Two-phase layer schedule: quantization is sequential through the
+  // residual field (fast, bandwidth-bound), but the per-layer entropy
+  // streams are independent — so quantize all layers first into a plane
+  // matrix, then range-code every plane concurrently.
+  int nthreads = kLayersMax;
+  if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
+  if (nthreads < 1) nthreads = 1;
+  std::vector<u8> planebuf(kLayersMax * n);
+  std::vector<u8> streams[kLayersMax];
+  auto tq0 = std::chrono::steady_clock::now();
   int ilay = 0;
   for (;;) {
+    u8* syms = planebuf.data() + u64(ilay) * n;
     LayerResult lr =
         (mtot > 1)
-            ? quantize_layer_masked(fld, syms.data(), nx, ny, nz, out->tolabs,
+            ? quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
                                     tolrel, out->wlev, mx, my, mz, cutoffvec,
                                     ilay)
-            : quantize_layer(fld, syms.data(), n, out->tolabs, ilay);
+            : quantize_layer(fld, syms, n, out->tolabs, ilay);
     out->deps_vec[ilay] = lr.deps;
     out->minval_vec[ilay] = lr.minval;
-    u64 before = payload.size();
-    encode_plane(syms.data(), n, payload);
-    out->len_enc_vec[ilay] = payload.size() - before;
     ++ilay;
     if (lr.last) break;
+  }
+  auto tq1 = std::chrono::steady_clock::now();
+  {
+    std::atomic<int> next{0};
+    auto work = [&]() {
+      for (;;) {
+        int l = next.fetch_add(1);
+        if (l >= ilay) return;
+        encode_plane(planebuf.data() + u64(l) * n, n, streams[l]);
+      }
+    };
+    int nt = std::min(nthreads, ilay);
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; ++t) ths.emplace_back(work);
+    work();
+    for (auto& th : ths) th.join();
+  }
+  if (getenv("WR_TIMING")) {
+    auto tq2 = std::chrono::steady_clock::now();
+    fprintf(stderr, "quant loop: %.3fs  entropy: %.3fs\n",
+            std::chrono::duration<double>(tq1 - tq0).count(),
+            std::chrono::duration<double>(tq2 - tq1).count());
+  }
+  for (int l = 0; l < ilay; ++l) {
+    out->len_enc_vec[l] = streams[l].size();
+    payload.insert(payload.end(), streams[l].begin(), streams[l].end());
   }
   out->nlay = u8(ilay);
   out->ntot_enc = payload.size();
@@ -613,11 +858,30 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
     return;
   }
   for (u64 j = 0; j < n; ++j) fld[j] = 0;
-  std::vector<u8> syms(n);
-  u64 off = 0;
+  int nthreads = kLayersMax;
+  if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
+  if (nthreads < 1) nthreads = 1;
+  std::vector<u8> planebuf(u64(nlay) * n);
+  std::vector<u64> offs(nlay + 1, 0);
+  for (int l = 0; l < nlay; ++l) offs[l + 1] = offs[l] + len_enc_vec[l];
+  {
+    std::atomic<int> next{0};
+    auto work = [&]() {
+      for (;;) {
+        int l = next.fetch_add(1);
+        if (l >= nlay) return;
+        decode_plane(data_enc + offs[l], len_enc_vec[l],
+                     planebuf.data() + u64(l) * n, n);
+      }
+    };
+    int nt = std::min(nthreads, int(nlay));
+    std::vector<std::thread> ths;
+    for (int t = 1; t < nt; ++t) ths.emplace_back(work);
+    work();
+    for (auto& th : ths) th.join();
+  }
   for (int ilay = 0; ilay < nlay; ++ilay) {
-    decode_plane(data_enc + off, len_enc_vec[ilay], syms.data(), n);
-    off += len_enc_vec[ilay];
+    const u8* syms = planebuf.data() + u64(ilay) * n;
     const double deps = deps_vec[ilay];
     const double mnv = minval_vec[ilay];
     for (u64 j = 0; j < n; ++j) fld[j] = fld[j] + (syms[j] * deps + mnv);
@@ -765,6 +1029,32 @@ void wrn_decode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
 }
 
 // --- misc -----------------------------------------------------------------
+
+// MSSG mask separation (contract: mssg_enc.cpp:323-348): pad masked
+// elements (< thresh) with the left-to-right sequential mean of unmasked
+// elements and emit the mask field {0, minval}. The sequential sum order
+// matters for bit-exactness. Returns the pad value.
+double wrn_mask_separate(double* fld, double* mask, uint64_t n,
+                         double thresh, double minval) {
+  double acc = 0;
+  int64_t cnt = 0;
+  for (uint64_t j = 0; j < n; ++j) {
+    if (fld[j] >= thresh) {
+      acc += fld[j];
+      ++cnt;
+    }
+  }
+  double pad = acc / double(cnt);
+  for (uint64_t j = 0; j < n; ++j) {
+    if (fld[j] < thresh) {
+      fld[j] = pad;
+      mask[j] = minval;
+    } else {
+      mask[j] = 0;
+    }
+  }
+  return pad;
+}
 
 int wrn_version() { return 10000; }  // waverange_tpu native ABI version
 }
