@@ -57,6 +57,9 @@ def read_control_file(path: str):
     pend_name = ""
     for c in text:
         if c in "\n& ',":
+            # separator resets state only after a completed token — while
+            # waiting for a value (just after '='), whitespace is skipped
+            # with the state preserved (ctrl_aux.cpp:77)
             if buf:
                 if state == 1:
                     if buf in keys:
@@ -67,7 +70,7 @@ def read_control_file(path: str):
                         pairs.append((pend_name, buf))
                         expect_val = False
                 buf = ""
-            state = 0
+                state = 0
         elif c == "=":
             state = 2
             buf = ""
@@ -279,11 +282,11 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
                 print(f"Field number it={it}")
             minval = fld.min()
             if minval < undef_thresh:
-                # mask separation (mssg_enc.cpp:323-381)
-                unmasked = fld >= undef_thresh
-                fld_pad = fld[unmasked].mean()
-                mask = np.where(unmasked, 0.0, minval)
-                fld = np.where(unmasked, fld, fld_pad)
+                # mask separation (mssg_enc.cpp:323-381); sequential-sum
+                # padding semantics via the native helper
+                from .. import native as wn
+                fld = np.ascontiguousarray(fld)
+                mask, _pad = wn.mask_separate(fld, undef_thresh, minval)
                 e_mask = encode_field(
                     mask, MSSG_MASK_TOLREL, wtflag=0,
                     cutoff=np.array([MSSG_MASK_TOLREL]), backend=backend)

@@ -64,6 +64,9 @@ def get_lib() -> ct.CDLL:
         lib.wrn_decode_field.argtypes = [
             f64p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
             f64p, f64p, u64p, u8p]
+        lib.wrn_mask_separate.restype = ct.c_double
+        lib.wrn_mask_separate.argtypes = [f64p, f64p, u64, ct.c_double,
+                                          ct.c_double]
         _lib = lib
     return _lib
 
@@ -198,6 +201,20 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
         halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
         ntot_enc=int(ntot_enc), deps_vec=deps_vec, minval_vec=minval_vec,
         len_enc_vec=len_enc_vec, data=data_enc[:ntot_enc].tobytes())
+
+
+def mask_separate(fld: np.ndarray, thresh: float, minval: float
+                  ) -> Tuple[np.ndarray, float]:
+    """In-place MSSG mask separation: pad masked (< thresh) elements of
+    `fld` with the sequential mean of unmasked elements; returns the mask
+    field ({0, minval}) and the pad value (contract: mssg_enc.cpp:323-348;
+    the left-to-right sum order is part of bit-exactness)."""
+    lib = get_lib()
+    assert fld.dtype == np.float64 and fld.flags.c_contiguous
+    mask = np.empty_like(fld)
+    pad = lib.wrn_mask_separate(_f64p(fld), _f64p(mask), fld.size,
+                                thresh, minval)
+    return mask, pad
 
 
 def decode_field(meta: dict, shape: Tuple[int, int, int]) -> np.ndarray:
