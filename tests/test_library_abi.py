@@ -1,0 +1,79 @@
+"""libwaverange drop-in ABI: build the shared library, compile the C
+example against it, run it, and cross-check the ABI against the
+reference library semantics (same outputs as the oracle encode)."""
+import ctypes as ct
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import REPO, smooth_field
+
+
+@pytest.fixture(scope="module")
+def libdir():
+    from waverange_tpu.native.libwaverange import build_libwaverange
+    return build_libwaverange()
+
+
+def test_c_example_roundtrip(libdir, tmp_path):
+    exe = tmp_path / "example"
+    src = REPO / "examples" / "library" / "example.c"
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), str(src), f"-L{libdir}",
+         "-lwaverange", f"-Wl,-rpath,{libdir}", "-lm"],
+        check=True, capture_output=True, cwd=src.parent)
+    r = subprocess.run([str(exe)], check=True, capture_output=True,
+                       text=True)
+    assert "PASS" in r.stdout, r.stdout
+
+
+def test_abi_matches_oracle(libdir, oracle):
+    """Call encoding_wrap through the drop-in ABI; outputs must equal the
+    reference library's for the same field."""
+    lib = ct.CDLL(str(libdir / "libwaverange.so"))
+    a = smooth_field((12, 10, 8))
+    nz, ny, nx = a.shape
+    fld = np.ascontiguousarray(a, np.float64).copy()
+    cutoff = np.array([1e-7])
+    tolabs = ct.c_double()
+    midval = ct.c_double()
+    halfspan = ct.c_double()
+    wlev = ct.c_ubyte()
+    nlay = ct.c_ubyte()
+    ntot_enc = ct.c_ulong()
+    deps = np.zeros(8)
+    minv = np.zeros(8)
+    lens = np.zeros(8, np.uint64)
+    data = np.zeros(8 * max(a.size, 1024), np.uint8)
+    dp = lambda arr: arr.ctypes.data_as(ct.POINTER(ct.c_double))
+    lib.encoding_wrap(
+        nx, ny, nz, dp(fld), 1, 1, 1, 1, dp(cutoff),
+        ct.byref(tolabs), ct.byref(midval), ct.byref(halfspan),
+        ct.byref(wlev), ct.byref(nlay), ct.byref(ntot_enc),
+        dp(deps), dp(minv),
+        lens.ctypes.data_as(ct.POINTER(ct.c_ulong)),
+        data.ctypes.data_as(ct.POINTER(ct.c_ubyte)))
+    om = oracle.encode(a.copy(), 1, 1e-7)
+    assert nlay.value == om["nlay"]
+    assert tolabs.value == om["tolabs"]
+    assert bytes(data[:ntot_enc.value].tobytes()) == om["data"]
+    # decode through the ABI, compare with oracle decode
+    rec = np.zeros_like(fld)
+    lib.decoding_wrap(
+        nx, ny, nz, dp(rec), ct.byref(tolabs), ct.byref(midval),
+        ct.byref(halfspan), ct.byref(wlev), ct.byref(nlay),
+        ct.byref(ntot_enc), dp(deps), dp(minv),
+        lens.ctypes.data_as(ct.POINTER(ct.c_ulong)),
+        data.ctypes.data_as(ct.POINTER(ct.c_ubyte)))
+    od = oracle.decode(om, a.shape)
+    assert np.array_equal(rec.view(np.uint64), od.view(np.uint64))
+
+
+def test_setup_wr(libdir):
+    lib = ct.CDLL(str(libdir / "libwaverange.so"))
+    nlaymax = ct.c_ubyte()
+    cap = ct.c_ulong()
+    lib.setup_wr(16, 16, 16, ct.byref(nlaymax), ct.byref(cap))
+    assert nlaymax.value == 8
+    assert cap.value == 8 * 16 * 16 * 16

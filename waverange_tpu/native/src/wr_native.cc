@@ -1057,4 +1057,96 @@ double wrn_mask_separate(double* fld, double* mask, uint64_t n,
 }
 
 int wrn_version() { return 10000; }  // waverange_tpu native ABI version
+
+// ---------------------------------------------------------------------------
+// Drop-in library ABI compatible with the reference libwaverange
+// (wrappers.h:53-119): C entry points encoding_wrap/decoding_wrap/setup_wr
+// and the Fortran shims. Existing C/C++/Fortran users of the reference
+// library can relink against libwaverange.so built from this file.
+// ---------------------------------------------------------------------------
+
+void encoding_wrap(int nx, int ny, int nz, double* fld_1d, int wtflag,
+                   int mx, int my, int mz, double* cutoffvec, double& tolabs,
+                   double& midval, double& halfspanval, unsigned char& wlev,
+                   unsigned char& nlay, unsigned long& ntot_enc,
+                   double* deps_vec, double* minval_vec,
+                   unsigned long* len_enc_vec, unsigned char* data_enc) {
+  wr::EncodeOut eo;
+  std::vector<wr::u8> payload;
+  wr::encode_field(fld_1d, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
+                   payload);
+  tolabs = eo.tolabs;
+  midval = eo.midval;
+  halfspanval = eo.halfspanval;
+  wlev = eo.wlev;
+  nlay = eo.nlay;
+  ntot_enc = payload.size();
+  for (int j = 0; j < wr::kLayersMax; ++j) {
+    deps_vec[j] = eo.deps_vec[j];
+    minval_vec[j] = eo.minval_vec[j];
+    len_enc_vec[j] = eo.len_enc_vec[j];
+  }
+  std::memcpy(data_enc, payload.data(), payload.size());
+}
+
+void decoding_wrap(int nx, int ny, int nz, double* fld_1d, double& tolabs,
+                   double& midval, double& halfspanval, unsigned char& wlev,
+                   unsigned char& nlay, unsigned long& ntot_enc,
+                   double* deps_vec, double* minval_vec,
+                   unsigned long* len_enc_vec, unsigned char* data_enc) {
+  (void)tolabs;
+  (void)halfspanval;
+  std::vector<uint64_t> lens(wr::kLayersMax);
+  for (int j = 0; j < wr::kLayersMax; ++j) lens[j] = len_enc_vec[j];
+  wr::decode_field(fld_1d, nx, ny, nz, midval, wlev, nlay, ntot_enc,
+                   deps_vec, minval_vec, lens.data(), data_enc);
+}
+
+void setup_wr(int nx, int ny, int nz, unsigned char& nlaymax,
+              unsigned long& ntot_enc_max) {
+  nlaymax = wr::kLayersMax;
+  unsigned long ntot =
+      (unsigned long)nx * (unsigned long)ny * (unsigned long)nz;
+  ntot_enc_max = (unsigned long)wr::kLayersMax *
+                 (ntot < 1024ul ? 1024ul : ntot);
+}
+
+void encoding_wrap_f(int* nx, int* ny, int* nz, double* fld, int* wtflag,
+                     double* tolrel, double& tolabs, double& midval,
+                     double& halfspanval, unsigned char& wlev,
+                     unsigned char& nlay, long& ntot_enc_sg,
+                     double* deps_vec, double* minval_vec,
+                     long* len_enc_vec_sg, unsigned char* data_enc) {
+  unsigned long ntot_enc;
+  unsigned long len_enc_vec[wr::kLayersMax];
+  double cutoff[1] = {*tolrel};
+  encoding_wrap(*nx, *ny, *nz, fld, *wtflag, 1, 1, 1, cutoff, tolabs,
+                midval, halfspanval, wlev, nlay, ntot_enc, deps_vec,
+                minval_vec, len_enc_vec, data_enc);
+  ntot_enc_sg = (long)ntot_enc;
+  for (int j = 0; j < wr::kLayersMax; ++j)
+    len_enc_vec_sg[j] = (long)len_enc_vec[j];
+}
+
+void decoding_wrap_f(int* nx, int* ny, int* nz, double* fld, double& midval,
+                     double& halfspanval, unsigned char& wlev,
+                     unsigned char& nlay, long& ntot_enc_sg,
+                     double* deps_vec, double* minval_vec,
+                     long* len_enc_vec_sg, unsigned char* data_enc) {
+  double tolabs = 0;
+  unsigned long ntot_enc = (unsigned long)ntot_enc_sg;
+  unsigned long len_enc_vec[wr::kLayersMax];
+  for (int j = 0; j < wr::kLayersMax; ++j)
+    len_enc_vec[j] = (unsigned long)len_enc_vec_sg[j];
+  decoding_wrap(*nx, *ny, *nz, fld, tolabs, midval, halfspanval, wlev,
+                nlay, ntot_enc, deps_vec, minval_vec, len_enc_vec,
+                data_enc);
+}
+
+void setup_wr_f(int* nx, int* ny, int* nz, int& nlaymax,
+                long& ntot_enc_max) {
+  nlaymax = wr::kLayersMax;
+  long ntot = (long)(*nx) * (long)(*ny) * (long)(*nz);
+  ntot_enc_max = (long)wr::kLayersMax * (ntot < 1024l ? 1024l : ntot);
+}
 }
