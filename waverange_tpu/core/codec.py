@@ -78,11 +78,15 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     nz, ny, nx = fld.shape
     if cutoff is None:
         cutoff = np.array([tolrel], dtype=np.float64)
+    from ..utils import timed
     if backend == "jax":
-        meta = _encode_jax(fld, tolrel, wtflag=wtflag)
+        with timed("encode.jax"):
+            meta = _encode_jax(fld, tolrel, wtflag=wtflag)
     else:
-        meta = wn.encode_field(np.asarray(fld, np.float64), wtflag=wtflag,
-                               cutoff=cutoff, mx=mx, my=my, mz=mz)
+        with timed("encode.native"):
+            meta = wn.encode_field(np.asarray(fld, np.float64),
+                                   wtflag=wtflag, cutoff=cutoff, mx=mx,
+                                   my=my, mz=mz)
     return EncodedField(
         nx=nx, ny=ny, nz=nz, tolabs=meta["tolabs"], midval=meta["midval"],
         halfspanval=meta["halfspanval"], wlev=meta["wlev"],
@@ -101,9 +105,12 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
                 ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
                 minval_vec=enc.minval_vec, len_enc_vec=enc.len_enc_vec,
                 data=enc.data)
+    from ..utils import timed
     if backend == "jax":
-        return _decode_jax(meta, enc.shape_zyx)
-    return wn.decode_field(meta, enc.shape_zyx)
+        with timed("decode.jax"):
+            return _decode_jax(meta, enc.shape_zyx)
+    with timed("decode.native"):
+        return wn.decode_field(meta, enc.shape_zyx)
 
 
 # ---------------------------------------------------------------------------

@@ -89,12 +89,23 @@ def accumulate_layers(planes: jax.Array, deps: jax.Array, minv: jax.Array,
     return acc
 
 
+def _forward_wavelet(fld, levels):
+    """Dispatch: Pallas x-sweep kernel on TPU for f32 (throughput path),
+    XLA slicing otherwise."""
+    from .wavelet import cdf97_forward
+    if (fld.dtype == jnp.float32 and jax.default_backend() != "cpu"):
+        try:
+            from .wavelet_pallas import cdf97_forward_pallas
+            return cdf97_forward_pallas(fld, levels)
+        except Exception:
+            pass
+    return cdf97_forward(fld, levels)
+
+
 @partial(jax.jit, static_argnames=("wtflag", "levels"))
 def _encode_step_impl(fld: jax.Array, tolrel: jax.Array, wav_acc: jax.Array,
                       qalpha: jax.Array, wtflag: bool = True,
                       levels: int = 4):
-    from .wavelet import cdf97_forward
-
     dtype = fld.dtype
     mn = jnp.min(fld)
     mx = jnp.max(fld)
@@ -103,7 +114,7 @@ def _encode_step_impl(fld: jax.Array, tolrel: jax.Array, wav_acc: jax.Array,
     tiny = jnp.asarray(4.4501477170144023e-308, dtype)  # 2*DBL_MIN
     trivial = halfspanval <= tiny
 
-    w = cdf97_forward(fld, levels if wtflag else 0)
+    w = _forward_wavelet(fld, levels if wtflag else 0)
     tolabs = tolrel * jnp.maximum(jnp.abs(mn), jnp.abs(mx)) / wav_acc
     planes, deps, minv, nlay = quantize_layers(w.ravel(), tolabs, qalpha)
     return planes, deps, minv, nlay, tolabs, midval, halfspanval, trivial
