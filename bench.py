@@ -88,10 +88,25 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
     # Warm-up: compile AND exercise the device->host transfer path (the
     # first download through the axon tunnel sets up a transfer program
     # that can take minutes; subsequent transfers run at full speed).
-    log("  compiling device step + warming transfer path...")
-    wout = step(jnp.zeros(slabs[0].shape, dtype), *consts)
-    _ = np.asarray(wout[0])
-    _ = [np.asarray(w) for w in wout[1:]]
+    # A watchdog abandons the TPU path if warm-up exceeds the budget.
+    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "600"))
+    log(f"  compiling device step + warming transfer path "
+        f"(budget {budget:.0f}s)...")
+    done = []
+
+    def _warm():
+        wout = step(jnp.zeros(slabs[0].shape, dtype), *consts)
+        _ = np.asarray(wout[0])
+        _ = [np.asarray(w) for w in wout[1:]]
+        done.append(True)
+
+    import threading
+    wt = threading.Thread(target=_warm, daemon=True)
+    wt.start()
+    wt.join(budget)
+    if not done:
+        raise TimeoutError(f"device warm-up exceeded {budget:.0f}s "
+                           "(tunnel transfer-program setup)")
 
     pool = ThreadPoolExecutor(max_workers=1)
     results = [None] * n_blocks

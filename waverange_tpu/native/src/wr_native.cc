@@ -48,6 +48,26 @@ constexpr int kShiftBits = 23;          // bits dropped when emitting a byte
 constexpr int kExtraBits = 7;           // (32-2) % 8 + 1
 
 constexpr u64 kBlockSymbols = 60000;    // symbols per framed block
+
+// Exact unsigned division by a runtime-constant divisor via multiply-high
+// (ceil-magic variant). The per-symbol hot loops divide by the block's
+// total frequency, constant across a 60000-symbol block — precomputing
+// the magic replaces a 20+-cycle udiv with a mulhi+shift.
+// Exactness for all n < 2^32, 1 <= d < 2^31 is covered by
+// wrn_selftest_magicdiv (exhaustive in d over the coder's domain).
+struct MagicDiv {
+  u64 m;
+  u32 sh;
+  static MagicDiv make(u32 d) {
+    u32 l = 32 - __builtin_clz(d);  // floor(log2(d)) + 1
+    unsigned __int128 one = 1;
+    u64 mm = (u64)(((one << (32 + l)) + d - 1) / d);
+    return {mm, 32 + l};
+  }
+  inline u32 div(u32 n) const {
+    return (u32)(((unsigned __int128)n * m) >> sh);
+  }
+};
 constexpr int kLayersMax = 8;           // max byte layers (NLAYMAX)
 constexpr int kWavLevels = 4;           // wavelet depth (WAV_LVL)
 constexpr double kWavAccCoef = 1.75;    // tolerance derating (WAV_ACC_COEF)
@@ -63,6 +83,17 @@ class RangeEncoder {
         cache_(first_byte), nbytes_(0) {}
 
   u64 bytes_written() const { return pos_; }
+
+  // Encode symbol occupying [lt, lt+sy) of a total-frequency-tot model,
+  // with the division done by precomputed magic (tot constant per block).
+  inline void encode_m(u32 sy, u32 lt, u32 tot, const MagicDiv& md) {
+    normalize();
+    u32 r = md.div(range_);
+    u32 d = r * lt;
+    low_ += d;
+    range_ -= d;
+    if (lt + sy < tot) range_ = r * sy;
+  }
 
   // Encode symbol occupying [lt, lt+sy) of a total-frequency-tot model.
   inline void encode(u32 sy, u32 lt, u32 tot) {
@@ -177,6 +208,14 @@ class RangeDecoder {
     return t >= tot ? tot - 1 : t;
   }
 
+  // Magic-division variant for block-constant totals.
+  inline u32 cul_freq_m(u32 tot, const MagicDiv& md) {
+    normalize();
+    step_ = md.div(range_);
+    u32 t = low_ / step_;
+    return t >= tot ? tot - 1 : t;
+  }
+
   inline u32 cul_shift(u32 shift) {
     normalize();
     step_ = range_ >> shift;
@@ -252,9 +291,12 @@ void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
       counts[i] = cum;
       cum += c;
     }
-    for (u64 i = 0; i < bs; ++i) {
-      u8 ch = p[i];
-      enc.encode(counts[ch + 1] - counts[ch], counts[ch], u32(bs));
+    if (bs) {
+      MagicDiv md = MagicDiv::make(u32(bs));
+      for (u64 i = 0; i < bs; ++i) {
+        u8 ch = p[i];
+        enc.encode_m(counts[ch + 1] - counts[ch], counts[ch], u32(bs), md);
+      }
     }
     u64 w = enc.drain();
     out.insert(out.end(), scratch.data(), scratch.data() + w);
@@ -286,12 +328,15 @@ u64 decode_plane(const u8* data, u64 len, u8* syms, u64 n_expected) {
     inv.assign(bs, 0);
     for (int s = 0; s < 256; ++s)
       for (u32 i = counts[s]; i < counts[s + 1]; ++i) inv[i] = u8(s);
-    for (u32 i = 0; i < bs; ++i) {
-      u32 cf = dec.cul_freq(bs);
-      u32 s = inv[cf];
-      dec.update(counts[s + 1] - counts[s], counts[s], bs);
-      if (pos < n_expected) syms[pos] = u8(s);
-      ++pos;
+    if (bs) {
+      MagicDiv md = MagicDiv::make(bs);
+      for (u32 i = 0; i < bs; ++i) {
+        u32 cf = dec.cul_freq_m(bs, md);
+        u32 s = inv[cf];
+        dec.update(counts[s + 1] - counts[s], counts[s], bs);
+        if (pos < n_expected) syms[pos] = u8(s);
+        ++pos;
+      }
     }
   }
   dec.finish();
@@ -1057,6 +1102,26 @@ double wrn_mask_separate(double* fld, double* mask, uint64_t n,
 }
 
 int wrn_version() { return 10000; }  // waverange_tpu native ABI version
+
+// Exactness self-test for MagicDiv over the coder's divisor domain
+// (1..2^17) with boundary-adversarial dividends. Returns 0 on success.
+int wrn_selftest_magicdiv() {
+  for (uint32_t d = 1; d <= (1u << 17); ++d) {
+    wr::MagicDiv md = wr::MagicDiv::make(d);
+    uint64_t probes[8] = {1, d - 1, d, d + 1, 0x7fffffffu, 0x80000000u,
+                          0xffffffffu, (0xffffffffu / d) * (uint64_t)d};
+    for (uint64_t p : probes) {
+      uint32_t n = (uint32_t)p;
+      if (md.div(n) != n / d) return 1;
+    }
+    // stride through the full range
+    for (uint64_t n = 0; n <= 0xffffffffull; n += 0x10000019ull) {
+      uint32_t v = (uint32_t)n;
+      if (md.div(v) != v / d) return 1;
+    }
+  }
+  return 0;
+}
 
 // ---------------------------------------------------------------------------
 // Drop-in library ABI compatible with the reference libwaverange
