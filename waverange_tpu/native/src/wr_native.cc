@@ -415,6 +415,35 @@ struct Dim3 {
   u64 nx, ny, nz;
 };
 
+// Split [0, n) across worker threads (elements are disjoint, so any
+// elementwise-parallel use preserves bit-exactness).
+template <class F>
+static void parallel_for(u64 n, const F& body, int nthreads = 0) {
+  if (nthreads <= 0) {
+    if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
+    if (nthreads <= 0)
+      nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads == 1 || n < 2) {
+    for (u64 i = 0; i < n; ++i) body(i);
+    return;
+  }
+  std::atomic<u64> next{0};
+  auto work = [&]() {
+    for (;;) {
+      u64 i = next.fetch_add(1);
+      if (i >= n) return;
+      body(i);
+    }
+  };
+  int nt = (int)std::min<u64>(nthreads, n);
+  std::vector<std::thread> ths;
+  for (int t = 1; t < nt; ++t) ths.emplace_back(work);
+  work();
+  for (auto& th : ths) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // Slab-vectorized sweeps for the y and z axes.
 //
@@ -586,13 +615,14 @@ static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
     const u64 n = act.nx;
     if (n <= 1) return;
     const u64 m = n / 2 + (n % 2);
-    std::vector<double> lo(m), hi(m), out(n);
-    for (u64 j2 = 0; j2 < act.nz; ++j2)
-      for (u64 j1 = 0; j1 < act.ny; ++j1) {
-        double* line = fld + j1 * sy + j2 * sz;
-        lift_line_fwd(line, n, lo.data(), hi.data(), out.data());
-        std::memcpy(line, out.data(), n * sizeof(double));
-      }
+    thread_local std::vector<double> lo, hi, out;
+    parallel_for(act.nz * act.ny, [&](u64 j) {
+      if (out.size() < n) { lo.resize(m); hi.resize(m); out.resize(n); }
+      u64 j2 = j / act.ny, j1 = j % act.ny;
+      double* line = fld + j1 * sy + j2 * sz;
+      lift_line_fwd(line, n, lo.data(), hi.data(), out.data());
+      std::memcpy(line, out.data(), n * sizeof(double));
+    });
     return;
   }
   const u64 n = (axis == 1) ? act.ny : act.nz;
@@ -602,9 +632,11 @@ static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
   const u64 rs = (axis == 1) ? sy : sz;
   const u64 c = (axis == 1) ? act.nz : act.ny;
   const u64 cstride = (axis == 1) ? sz : sy;
-  std::vector<double> lo(m * w), hi(m * w);
-  for (u64 j = 0; j < c; ++j)
+  thread_local std::vector<double> lo, hi;
+  parallel_for(c, [&](u64 j) {
+    if (lo.size() < m * w) { lo.resize(m * w); hi.resize(m * w); }
     lift_slab_fwd(fld + j * cstride, n, w, rs, lo.data(), hi.data());
+  });
 }
 
 static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
@@ -613,13 +645,14 @@ static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
     const u64 n = act.nx;
     if (n <= 1) return;
     const u64 q = n / 2 + (n % 2);
-    std::vector<double> lo(q), hi(q), out(n);
-    for (u64 j2 = 0; j2 < act.nz; ++j2)
-      for (u64 j1 = 0; j1 < act.ny; ++j1) {
-        double* line = fld + j1 * sy + j2 * sz;
-        lift_line_inv(line, n, lo.data(), hi.data(), out.data());
-        std::memcpy(line, out.data(), n * sizeof(double));
-      }
+    thread_local std::vector<double> lo, hi, out;
+    parallel_for(act.nz * act.ny, [&](u64 j) {
+      if (out.size() < n) { lo.resize(q); hi.resize(q); out.resize(n); }
+      u64 j2 = j / act.ny, j1 = j % act.ny;
+      double* line = fld + j1 * sy + j2 * sz;
+      lift_line_inv(line, n, lo.data(), hi.data(), out.data());
+      std::memcpy(line, out.data(), n * sizeof(double));
+    });
     return;
   }
   const u64 n = (axis == 1) ? act.ny : act.nz;
@@ -629,9 +662,11 @@ static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
   const u64 rs = (axis == 1) ? sy : sz;
   const u64 c = (axis == 1) ? act.nz : act.ny;
   const u64 cstride = (axis == 1) ? sz : sy;
-  std::vector<double> lo(q * w), hi(q * w);
-  for (u64 j = 0; j < c; ++j)
+  thread_local std::vector<double> lo, hi;
+  parallel_for(c, [&](u64 j) {
+    if (lo.size() < q * w) { lo.resize(q * w); hi.resize(q * w); }
     lift_slab_inv(fld + j * cstride, n, w, rs, lo.data(), hi.data());
+  });
 }
 
 static inline u64 halve_up(u64 n) { return n / 2 + (n % 2); }
@@ -925,11 +960,19 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
     work();
     for (auto& th : ths) th.join();
   }
-  for (int ilay = 0; ilay < nlay; ++ilay) {
-    const u8* syms = planebuf.data() + u64(ilay) * n;
-    const double deps = deps_vec[ilay];
-    const double mnv = minval_vec[ilay];
-    for (u64 j = 0; j < n; ++j) fld[j] = fld[j] + (syms[j] * deps + mnv);
+  {
+    const u64 chunk = 1u << 20;
+    const u64 nchunks = (n + chunk - 1) / chunk;
+    parallel_for(nchunks, [&](u64 ci) {
+      u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
+      for (int ilay = 0; ilay < nlay; ++ilay) {
+        const u8* syms = planebuf.data() + u64(ilay) * n;
+        const double deps = deps_vec[ilay];
+        const double mnv = minval_vec[ilay];
+        for (u64 j = j0; j < j1; ++j)
+          fld[j] = fld[j] + (syms[j] * deps + mnv);
+      }
+    });
   }
   wavelet3d_inverse(fld, nx, ny, nz, int(wlev));
 }
