@@ -102,6 +102,9 @@ def make_backup(dirpath, nx=16, ny=12, nz=8, nprocx=2, nprocy=2, ndset=4):
                     sub = glob[k][:, ipy * nyloc:(ipy + 1) * nyloc,
                                   ipx * nxloc:(ipx + 1) * nxloc]
                     f.write(sub.astype(">f8").tobytes())
+    names = ["time", "u", "v", "t", "w", "q"][:ndset]
+    recs = "".join(f" var = '{nm}', rec = {k + 1},\n"
+                   for k, nm in enumerate(names))
     (dirpath / "rst.nmlst").write_text(
         "&gridparam\n"
         f" nx = {nx},\n ny = {ny},\n nr = {nz},\n"
@@ -110,10 +113,7 @@ def make_backup(dirpath, nx=16, ny=12, nz=8, nprocx=2, nprocy=2, ndset=4):
         f" nproc = {nprocx * nprocy}, dim_size = {nprocx},\n"
         "/\n"
         "&recparam\n"
-        " var = 'time', rec = 1,\n"
-        " var = 'u', rec = 2,\n"
-        " var = 'v', rec = 3,\n"
-        " var = 't', rec = 4,\n"
+        + recs +
         "/\n")
     return glob
 
