@@ -92,3 +92,11 @@ def test_united_collectives(mesh):
     assert float(tolabs) == single.tolabs
     payload, lens = wn.encode_planes_batch(np.asarray(planes[:nlay]))
     assert payload == single.data
+
+
+def test_gather_streams_ordered_single_process():
+    from waverange_tpu.parallel.distributed import gather_streams_ordered
+    streams = [b"ccc", b"a", b"bb"]
+    ids = [2, 0, 1]
+    out = gather_streams_ordered(streams, ids)
+    assert out == [b"a", b"bb", b"ccc"]
