@@ -44,7 +44,8 @@ def make_field(n):
     small = rng.standard_normal((n // 8, n // 8, n // 8))
     small = np.repeat(np.repeat(np.repeat(small, 8, 0), 8, 1), 8, 2)
     fld += 0.05 * small
-    fld += 1e-4 * rng.standard_normal((n, n, n))
+    # f32 noise (cast on add): halves generation time, same character
+    fld += 1e-4 * rng.standard_normal((n, n, n), dtype=np.float32)
     log(f"  field ready in {time.time()-t0:.1f}s")
     return fld
 
@@ -170,7 +171,8 @@ def bench_reference(fld, tol, workdir):
     n = fld.shape[0]
     workdir.mkdir(parents=True, exist_ok=True)
     raw = workdir / "bench_in.bin"
-    fld.tofile(raw)
+    if not raw.exists() or raw.stat().st_size != fld.nbytes:
+        fld.tofile(raw)
     args = [str(oracle), str(raw), str(workdir / "bench.wrb"),
             str(workdir / "bench.wrh"), "2", "0", "1", "2", str(n), str(n),
             str(n), repr(tol)]
@@ -187,50 +189,60 @@ def bench_reference(fld, tol, workdir):
 def main():
     n = int(os.environ.get("WR_BENCH_N", "512"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
+    pairs = int(os.environ.get("WR_BENCH_PAIRS", "3"))
     fld = make_field(n)
     gib = fld.nbytes / 1e9
 
-    results = {}
-
-    # native path
-    log("native pipeline...")
-    rn = bench_native(fld, tol)
-    results["native"] = rn
-    log(f"  encode {rn['encode_s']:.2f}s ({gib/rn['encode_s']:.3f} GB/s), "
-        f"decode {rn['decode_s']:.2f}s, ratio "
-        f"{rn['nbytes_out']/rn['nbytes_in']:.3f}, err {rn['err']:.2e}")
-
-    # tpu hybrid path
-    rt = None
-    try:
-        import jax
-        jax.config.update("jax_enable_x64", True)
-        cache = str(REPO / "build" / "jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        plat = jax.devices()[0].platform
-        log(f"tpu-hybrid pipeline on {jax.devices()[0].device_kind}...")
-        rt = bench_tpu_hybrid(fld, tol)
-        results["tpu_hybrid"] = rt
-        log(f"  encode {rt['encode_s']:.2f}s "
-            f"({gib/rt['encode_s']:.3f} GB/s), decode {rt['decode_s']:.2f}s"
-            f", ratio {rt['nbytes_out']/rt['nbytes_in']:.3f}, "
-            f"err {rt['err']:.2e}")
-    except Exception as e:
-        log(f"  tpu-hybrid failed: {type(e).__name__}: {e}")
-
-    # reference baseline
+    # Interleaved native/reference pairs: this VM has multi-second
+    # CPU-steal bursts, so alternating the two measurements and taking
+    # each side's best keeps the comparison fair.
+    skip_ref = os.environ.get("WR_BENCH_SKIP_REF") == "1"
+    rn = None
     ref = None
-    if os.environ.get("WR_BENCH_SKIP_REF") != "1":
-        log("reference wrenc baseline (best of 2)...")
-        r1 = bench_reference(fld, tol, REPO / "build" / "bench")
-        r2 = bench_reference(fld, tol, REPO / "build" / "bench")
-        cands = [r for r in (r1, r2) if r]
-        ref = min(cands, key=lambda r: r["encode_s"]) if cands else None
-        if ref:
-            log(f"  encode {ref['encode_s']:.2f}s "
-                f"({gib/ref['encode_s']:.3f} GB/s), ratio "
-                f"{ref['nbytes_out']/ref['nbytes_in']:.3f}")
+    for k in range(pairs):
+        log(f"pair {k+1}/{pairs}: native...")
+        r = bench_native(fld, tol, reps=1)
+        if rn is None:
+            rn = r
+        else:
+            rn["encode_s"] = min(rn["encode_s"], r["encode_s"])
+            rn["decode_s"] = min(rn["decode_s"], r["decode_s"])
+        log(f"  encode {r['encode_s']:.2f}s decode {r['decode_s']:.2f}s")
+        if not skip_ref:
+            log(f"pair {k+1}/{pairs}: reference wrenc...")
+            rr = bench_reference(fld, tol, REPO / "build" / "bench")
+            if rr and (ref is None or rr["encode_s"] < ref["encode_s"]):
+                ref = rr
+            if rr:
+                log(f"  encode {rr['encode_s']:.2f}s")
+    log(f"native best: encode {rn['encode_s']:.2f}s "
+        f"({gib/rn['encode_s']:.3f} GB/s), decode {rn['decode_s']:.2f}s, "
+        f"ratio {rn['nbytes_out']/rn['nbytes_in']:.3f}, err {rn['err']:.2e}")
+    if ref:
+        log(f"reference best: encode {ref['encode_s']:.2f}s "
+            f"({gib/ref['encode_s']:.3f} GB/s), ratio "
+            f"{ref['nbytes_out']/ref['nbytes_in']:.3f}")
+
+    # tpu hybrid path LAST: its warm-up thread cannot be cancelled if the
+    # watchdog fires, and must not contaminate the host measurements.
+    rt = None
+    if os.environ.get("WR_BENCH_SKIP_TPU") != "1":
+        try:
+            import jax
+            jax.config.update("jax_enable_x64", True)
+            cache = str(REPO / "build" / "jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            log(f"tpu-hybrid pipeline on {jax.devices()[0].device_kind}...")
+            rt = bench_tpu_hybrid(fld, tol)
+            log(f"  encode {rt['encode_s']:.2f}s "
+                f"({gib/rt['encode_s']:.3f} GB/s), decode "
+                f"{rt['decode_s']:.2f}s, ratio "
+                f"{rt['nbytes_out']/rt['nbytes_in']:.3f}, "
+                f"err {rt['err']:.2e}")
+        except Exception as e:
+            log(f"  tpu-hybrid failed: {type(e).__name__}: {e}")
 
     best = min((r for r in (rn, rt) if r), key=lambda r: r["encode_s"])
     value = gib / best["encode_s"]
