@@ -878,9 +878,10 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   // residual field (fast, bandwidth-bound), but the per-layer entropy
   // streams are independent — so quantize all layers first into a plane
   // matrix, then range-code every plane concurrently.
-  int nthreads = kLayersMax;
+  int nthreads = (int)std::thread::hardware_concurrency();
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
+  if (nthreads > kLayersMax) nthreads = kLayersMax;
   std::vector<u8> planebuf(kLayersMax * n);
   std::vector<u8> streams[kLayersMax];
   auto tq0 = std::chrono::steady_clock::now();
@@ -938,9 +939,10 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
     return;
   }
   for (u64 j = 0; j < n; ++j) fld[j] = 0;
-  int nthreads = kLayersMax;
+  int nthreads = (int)std::thread::hardware_concurrency();
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
+  if (nthreads > kLayersMax) nthreads = kLayersMax;
   std::vector<u8> planebuf(u64(nlay) * n);
   std::vector<u64> offs(nlay + 1, 0);
   for (int l = 0; l < nlay; ++l) offs[l + 1] = offs[l] + len_enc_vec[l];
