@@ -273,6 +273,12 @@ class RangeDecoder {
 // per-block scratch (worst case < 2 bytes/symbol + 514 bytes of model
 // data) that stays cache-hot; `out` grows to the actual stream size only.
 void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
+  // Reserve the worst case up front: reserve() maps without touching
+  // pages, so only bytes actually written fault in — and append never
+  // reallocates (repeated grow/copy of ~100MB streams caused mmap churn
+  // that collapsed under CPU-steal).
+  u64 nblocks = n / kBlockSymbols + 2;
+  out.reserve(out.size() + 2 * n + nblocks * 1100 + 64);
   std::vector<u8> scratch(2 * kBlockSymbols + 4096);
   RangeEncoder enc(scratch.data(), 0);
   u32 counts[257];
@@ -921,6 +927,9 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
             std::chrono::duration<double>(tq1 - tq0).count(),
             std::chrono::duration<double>(tq2 - tq1).count());
   }
+  u64 total = 0;
+  for (int l = 0; l < ilay; ++l) total += streams[l].size();
+  payload.reserve(payload.size() + total);
   for (int l = 0; l < ilay; ++l) {
     out->len_enc_vec[l] = streams[l].size();
     payload.insert(payload.end(), streams[l].begin(), streams[l].end());
