@@ -27,6 +27,8 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <mutex>
+#include <condition_variable>
 #include <chrono>
 #include <cstdlib>
 #include <cstdio>
@@ -880,20 +882,61 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
   out->tolabs = tolrel * std::fmax(std::fabs(mn), std::fabs(mx_)) / kWavAccCoef;
 
-  // Two-phase layer schedule: quantization is sequential through the
-  // residual field (fast, bandwidth-bound), but the per-layer entropy
-  // streams are independent — so quantize all layers first into a plane
-  // matrix, then range-code every plane concurrently.
+  // Bounded layer pipeline: quantization is sequential through the
+  // residual field, the per-layer entropy streams are independent. A
+  // small slot pool (threads + 2 planes) keeps coder workers busy while
+  // bounding resident memory — the full 8-plane matrix at 512^3 is
+  // >1 GiB, which this host's paging punishes.
   int nthreads = (int)std::thread::hardware_concurrency();
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
   if (nthreads > kLayersMax) nthreads = kLayersMax;
-  std::vector<u8> planebuf(kLayersMax * n);
+  const int slots = std::min(kLayersMax, nthreads + 2);
+  std::vector<u8> planebuf(u64(slots) * n);
   std::vector<u8> streams[kLayersMax];
-  auto tq0 = std::chrono::steady_clock::now();
+
+  std::mutex mu;
+  std::condition_variable cv;
+  int n_queued = 0;                 // layers quantized so far
+  int next_claim = 0;               // next layer a worker may claim
+  bool all_queued = false;
+  bool layer_done[kLayersMax] = {false};
+
+  auto work = [&]() {
+    int l;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          // next unclaimed layer == count of claimed ones; claim via
+          // a shared cursor guarded by the same mutex
+          return next_claim < n_queued || all_queued;
+        });
+        if (next_claim >= n_queued) {
+          if (all_queued) return;
+          continue;
+        }
+        l = next_claim++;
+      }
+      encode_plane(planebuf.data() + u64(l % slots) * n, n, streams[l]);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        layer_done[l] = true;
+      }
+      cv.notify_all();
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
+
   int ilay = 0;
   for (;;) {
-    u8* syms = planebuf.data() + u64(ilay) * n;
+    if (ilay >= slots) {
+      // slot reuse: the specific layer that used this slot must be done
+      std::unique_lock<std::mutex> lk(mu);
+      cv.wait(lk, [&] { return layer_done[ilay - slots]; });
+    }
+    u8* syms = planebuf.data() + u64(ilay % slots) * n;
     LayerResult lr =
         (mtot > 1)
             ? quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
@@ -903,30 +946,20 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
     out->deps_vec[ilay] = lr.deps;
     out->minval_vec[ilay] = lr.minval;
     ++ilay;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      n_queued = ilay;
+    }
+    cv.notify_all();
     if (lr.last) break;
   }
-  auto tq1 = std::chrono::steady_clock::now();
   {
-    std::atomic<int> next{0};
-    auto work = [&]() {
-      for (;;) {
-        int l = next.fetch_add(1);
-        if (l >= ilay) return;
-        encode_plane(planebuf.data() + u64(l) * n, n, streams[l]);
-      }
-    };
-    int nt = std::min(nthreads, ilay);
-    std::vector<std::thread> ths;
-    for (int t = 1; t < nt; ++t) ths.emplace_back(work);
-    work();
-    for (auto& th : ths) th.join();
+    std::lock_guard<std::mutex> lk(mu);
+    all_queued = true;
   }
-  if (getenv("WR_TIMING")) {
-    auto tq2 = std::chrono::steady_clock::now();
-    fprintf(stderr, "quant loop: %.3fs  entropy: %.3fs\n",
-            std::chrono::duration<double>(tq1 - tq0).count(),
-            std::chrono::duration<double>(tq2 - tq1).count());
-  }
+  cv.notify_all();
+  for (auto& th : ths) th.join();
+
   u64 total = 0;
   for (int l = 0; l < ilay; ++l) total += streams[l].size();
   payload.reserve(payload.size() + total);
