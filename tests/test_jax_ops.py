@@ -118,3 +118,17 @@ def test_wtflag0_jax_matches_native():
     en = codec.encode_field(a, 1e-5, wtflag=0, backend="native")
     assert ej.wlev == 0 == en.wlev
     assert ej.data == en.data
+
+
+def test_f32_native_precision_mode():
+    """TPU-first extension: precision="native" keeps f32 on device; the
+    stream stays decodable by the conformance decoder with f32-level
+    error control."""
+    a32 = smooth_field((32, 24, 16)).astype(np.float32)
+    e = codec.encode_field(a32, 1e-4, backend="jax", precision="native")
+    r = codec.decode_field(e, backend="native")
+    err = np.abs(r - a32.astype(np.float64)).max()
+    assert err <= 1.3e-4 * np.abs(a32).max() + 1e-5 * np.abs(a32).max()
+    # f32 path compresses at least as well as widened-f64 at this tol
+    e64 = codec.encode_field(a32, 1e-4, backend="jax")
+    assert abs(e.ntot_enc - e64.ntot_enc) < 0.1 * e64.ntot_enc + 1024

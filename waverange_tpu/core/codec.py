@@ -67,12 +67,19 @@ def _resolve_backend(backend: str) -> str:
 def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                  cutoff: Optional[np.ndarray] = None,
                  mx: int = 1, my: int = 1, mz: int = 1,
-                 backend: str = "native") -> EncodedField:
+                 backend: str = "native",
+                 precision: str = "f64") -> EncodedField:
     """Encode one (nz, ny, nx) field (f64 array or castable).
 
     `tolrel` is the relative tolerance; `cutoff` optionally provides the
     (mx, my, mz) local-cutoff block tolerances (reference wrappers.h:39-42;
     effectively uniform — see SURVEY.md §2 ind_p2w_3d quirk).
+
+    `precision`: "f64" (reference semantics — f32 inputs are widened, as
+    the reference always does) or "native" (jax backend only): keep the
+    input dtype on device. f32 is the TPU's native dtype — half the
+    bandwidth/memory, tolerance-exact at f32 resolution (tol >= ~1e-6).
+    The stream stays format-compatible (metadata is stored as f64).
     """
     backend = _resolve_backend(backend)
     nz, ny, nx = fld.shape
@@ -81,7 +88,8 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     from ..utils import timed
     if backend == "jax":
         with timed("encode.jax"):
-            meta = _encode_jax(fld, tolrel, wtflag=wtflag)
+            meta = _encode_jax(fld, tolrel, wtflag=wtflag,
+                               keep_dtype=(precision == "native"))
     else:
         with timed("encode.native"):
             meta = wn.encode_field(np.asarray(fld, np.float64),
@@ -117,13 +125,18 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
 # JAX device path
 # ---------------------------------------------------------------------------
 
-def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1) -> dict:
+def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
+                keep_dtype: bool = False) -> dict:
     import jax.numpy as jnp
     from ..ops.quant import encode_step
 
-    arr = jnp.asarray(np.asarray(fld, np.float64))
+    if keep_dtype and fld.dtype in (np.float32, np.float64):
+        arr = jnp.asarray(fld)
+    else:
+        arr = jnp.asarray(np.asarray(fld, np.float64))
     planes, deps, minv, nlay, tolabs, midval, halfspanval, trivial = (
-        encode_step(arr, jnp.float64(tolrel), wtflag=bool(wtflag)))
+        encode_step(arr, jnp.asarray(tolrel, arr.dtype),
+                    wtflag=bool(wtflag)))
     trivial = bool(trivial)
     midval_f = float(midval)
     halfspan_f = float(halfspanval)

@@ -985,39 +985,64 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
   if (nthreads > kLayersMax) nthreads = kLayersMax;
-  std::vector<u8> planebuf(u64(nlay) * n);
+  // Bounded pipeline: workers entropy-decode the (independent) layer
+  // streams into a small slot pool; the main thread accumulates them in
+  // exact layer order (per-element sequence preserved => bit-exact),
+  // freeing slots as it goes. Bounds resident memory to slots*n.
+  const int slots = std::min<int>(kLayersMax, nthreads + 2);
+  std::vector<u8> planebuf(u64(slots) * n);
   std::vector<u64> offs(nlay + 1, 0);
   for (int l = 0; l < nlay; ++l) offs[l + 1] = offs[l] + len_enc_vec[l];
-  {
-    std::atomic<int> next{0};
-    auto work = [&]() {
-      for (;;) {
-        int l = next.fetch_add(1);
-        if (l >= nlay) return;
-        decode_plane(data_enc + offs[l], len_enc_vec[l],
-                     planebuf.data() + u64(l) * n, n);
+
+  std::mutex mu;
+  std::condition_variable cv;
+  int next_claim = 0;
+  int accumulated = 0;
+  bool layer_ready[kLayersMax] = {false};
+
+  auto work = [&]() {
+    for (;;) {
+      int l;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (next_claim >= int(nlay)) return;
+        l = next_claim++;
       }
-    };
-    int nt = std::min(nthreads, int(nlay));
-    std::vector<std::thread> ths;
-    for (int t = 1; t < nt; ++t) ths.emplace_back(work);
-    work();
-    for (auto& th : ths) th.join();
-  }
-  {
-    const u64 chunk = 1u << 20;
-    const u64 nchunks = (n + chunk - 1) / chunk;
-    parallel_for(nchunks, [&](u64 ci) {
-      u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
-      for (int ilay = 0; ilay < nlay; ++ilay) {
-        const u8* syms = planebuf.data() + u64(ilay) * n;
-        const double deps = deps_vec[ilay];
-        const double mnv = minval_vec[ilay];
-        for (u64 j = j0; j < j1; ++j)
-          fld[j] = fld[j] + (syms[j] * deps + mnv);
+      if (l >= slots) {
+        // slot reuse: previous occupant (layer l - slots) must be
+        // accumulated before we overwrite its plane
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return accumulated > l - slots; });
       }
-    });
+      decode_plane(data_enc + offs[l], len_enc_vec[l],
+                   planebuf.data() + u64(l % slots) * n, n);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        layer_ready[l] = true;
+      }
+      cv.notify_all();
+    }
+  };
+  std::vector<std::thread> ths;
+  int nt = std::min(nthreads, int(nlay));
+  for (int t = 0; t < nt; ++t) ths.emplace_back(work);
+
+  for (int l = 0; l < int(nlay); ++l) {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv.wait(lk, [&] { return layer_ready[l]; });
+    }
+    const u8* syms = planebuf.data() + u64(l % slots) * n;
+    const double deps = deps_vec[l];
+    const double mnv = minval_vec[l];
+    for (u64 j = 0; j < n; ++j) fld[j] = fld[j] + (syms[j] * deps + mnv);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      accumulated = l + 1;
+    }
+    cv.notify_all();
   }
+  for (auto& th : ths) th.join();
   wavelet3d_inverse(fld, nx, ny, nz, int(wlev));
 }
 
