@@ -90,7 +90,7 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
     # first download through the axon tunnel sets up a transfer program
     # that can take minutes; subsequent transfers run at full speed).
     # A watchdog abandons the TPU path if warm-up exceeds the budget.
-    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "600"))
+    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "420"))
     log(f"  compiling device step + warming transfer path "
         f"(budget {budget:.0f}s)...")
     done = []

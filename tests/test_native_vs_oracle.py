@@ -92,3 +92,26 @@ def test_cross_decodability(oracle):
     md = wn.decode_field(om, (24, 20, 16))
     od = oracle.decode(om, (24, 20, 16))
     assert np.array_equal(md.view(np.uint64), od.view(np.uint64))
+
+
+def test_fuzz_shapes_and_tolerances(oracle):
+    """Seeded fuzz: random shapes (odd/even/degenerate), tolerances and
+    wtflag — every case byte-exact vs the oracle, encode and decode."""
+    rng = np.random.default_rng(2026)
+    for trial in range(12):
+        nx = int(rng.integers(1, 40))
+        ny = int(rng.integers(1, 40))
+        nz = int(rng.integers(1, 40))
+        tol = float(10.0 ** rng.uniform(-10, -2))
+        wt = int(rng.integers(0, 2))
+        a = smooth_field((nz, ny, nx)) * float(10 ** rng.uniform(-3, 3))
+        if rng.random() < 0.5:
+            a = a + 0.01 * np.abs(a).max() * rng.standard_normal(a.shape)
+        om = oracle.encode(a.copy(), wt, tol)
+        mm = wn.encode_field(a.copy(), wtflag=wt, cutoff=np.array([tol]))
+        assert om["data"] == mm["data"], (nx, ny, nz, tol, wt)
+        assert om["nlay"] == mm["nlay"]
+        od = oracle.decode(om, a.shape)
+        md = wn.decode_field(mm, a.shape)
+        assert np.array_equal(od.view(np.uint64), md.view(np.uint64)), \
+            (nx, ny, nz, tol, wt)
