@@ -127,3 +127,19 @@ def test_backup_dataset_table():
     assert BACKUP_DATASETS[18] == "scalar1"
     assert BACKUP_DATASETS[-1] == "Z_avg"
     assert "scalar9_nlk1" in BACKUP_DATASETS
+
+
+def test_backup_jax_batched_matches_native(tmp_path):
+    """jax backend batches equal-shaped backup datasets through the
+    sharded encoder; streams equal the native path at moderate tol."""
+    fields = make_backup_input(tmp_path / "in.h5",
+                               names=("ux", "uy", "uz"))
+    encode_flusi_file(str(tmp_path / "in.h5"), str(tmp_path / "j.h5"),
+                      1, 1e-6, backend="jax", verbose=False)
+    encode_flusi_file(str(tmp_path / "in.h5"), str(tmp_path / "n.h5"),
+                      1, 1e-6, backend="native", verbose=False)
+    with h5py.File(tmp_path / "j.h5") as fj, \
+            h5py.File(tmp_path / "n.h5") as fn:
+        for name in fields:
+            assert bytes(fj[name][...].tobytes()) == \
+                bytes(fn[name][...].tobytes()), name

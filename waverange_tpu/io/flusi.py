@@ -172,13 +172,32 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
                 nx, ny, nz = int(bckp[5]), int(bckp[6]), int(bckp[7])
                 fields[name] = (np.ascontiguousarray(
                     d[...], np.float64).reshape(nz, ny, nx), bckp)
+        # Block-parallel over fields (BASELINE config[2]): on the jax
+        # backend, equal-shaped datasets encode as one batched device
+        # step (vmapped wavelet+quantizer, threaded host entropy stage).
+        encs = {}
+        if backend == "jax" and cut is None and len(present) > 1:
+            from collections import defaultdict
+            groups = defaultdict(list)
+            for name in present:
+                groups[fields[name][0].shape].append(name)
+            from ..parallel import encode_fields_sharded
+            for shape, names in groups.items():
+                if len(names) == 1:
+                    continue
+                batch = np.stack([fields[nm][0] for nm in names])
+                for nm, e in zip(names,
+                                 encode_fields_sharded(batch, tol_base)):
+                    encs[nm] = e
         with h5py.File(out_name, "a") as fout:
             for name in present:
                 fld, bckp = fields[name]
                 nz, ny, nx = fld.shape
                 if verbose:
                     print(f" dset={name} nx={nx} ny={ny} nz={nz}")
-                if cut is None:
+                if name in encs:
+                    enc = encs[name]
+                elif cut is None:
                     enc = encode_field(fld, tol_base, wtflag=1,
                                        backend=backend)
                 else:

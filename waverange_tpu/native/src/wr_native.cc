@@ -779,10 +779,40 @@ struct LayerResult {
 
 // Quantize the current residual field into syms, update the residual in
 // place; uniform-cutoff fast path.
+// Threads for the quantize passes: whatever the machine has beyond the
+// coder workers (min/max is order-free; quantize/residual are
+// elementwise, so chunked parallelism is bit-exact).
+static int quant_threads() {
+  if (const char* e = getenv("WR_QUANT_THREADS")) {
+    int v = atoi(e);
+    return v < 1 ? 1 : v;
+  }
+  int hw = (int)std::thread::hardware_concurrency();
+  int coder = hw < kLayersMax ? hw : kLayersMax;
+  int extra = hw - coder;
+  return extra < 1 ? 1 : extra;
+}
+
 static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
                                   int ilay) {
+  const int qt = quant_threads();
+  const u64 chunk = 1u << 21;
+  const u64 nchunks = (n + chunk - 1) / chunk;
   double mn, mx;
-  minmax_scan(fld, n, &mn, &mx);
+  if (qt == 1 || nchunks < 2) {
+    minmax_scan(fld, n, &mn, &mx);
+  } else {
+    std::vector<double> mns(nchunks), mxs(nchunks);
+    parallel_for(nchunks, [&](u64 ci) {
+      u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
+      minmax_scan(fld + j0, j1 - j0, &mns[ci], &mxs[ci]);
+    }, qt);
+    mn = mns[0]; mx = mxs[0];
+    for (u64 ci = 1; ci < nchunks; ++ci) {
+      mn = mns[ci] < mn ? mns[ci] : mn;
+      mx = mxs[ci] > mx ? mxs[ci] : mx;
+    }
+  }
   double deps = (mx - mn) / 255.0;
   bool last = false;
   if (deps < tolabs) {
@@ -792,11 +822,22 @@ static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
   if (ilay >= kLayersMax - 1) last = true;
   const double a = 1.0 / deps;
   const double b = -mn * a + 0.5;
-  for (u64 j = 0; j < n; ++j) {
-    double fq = a * fld[j] + b;
-    syms[j] = u8(fq);  // truncation == floor for non-negative fq
+  auto qr = [&](u64 j0, u64 j1) {
+    for (u64 j = j0; j < j1; ++j) {
+      double fq = a * fld[j] + b;
+      syms[j] = u8(fq);  // truncation == floor for non-negative fq
+    }
+    for (u64 j = j0; j < j1; ++j)
+      fld[j] = fld[j] - (syms[j] * deps + mn);
+  };
+  if (qt == 1 || nchunks < 2) {
+    qr(0, n);
+  } else {
+    parallel_for(nchunks, [&](u64 ci) {
+      u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
+      qr(j0, j1);
+    }, qt);
   }
-  for (u64 j = 0; j < n; ++j) fld[j] = fld[j] - (syms[j] * deps + mn);
   return {deps, mn, last};
 }
 
