@@ -77,3 +77,17 @@ def test_setup_wr(libdir):
     lib.setup_wr(16, 16, 16, ct.byref(nlaymax), ct.byref(cap))
     assert nlaymax.value == 8
     assert cap.value == 8 * 16 * 16 * 16
+
+
+def test_static_archive(libdir, tmp_path):
+    """libwaverange.a links statically (reference ships both .a and .so)."""
+    assert (libdir / "libwaverange.a").exists()
+    src = REPO / "examples" / "library" / "example.c"
+    exe = tmp_path / "example_static"
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), str(src),
+         str(libdir / "libwaverange.a"), "-lstdc++", "-lpthread", "-lm"],
+        check=True, capture_output=True, cwd=src.parent)
+    r = subprocess.run([str(exe)], check=True, capture_output=True,
+                       text=True)
+    assert "PASS" in r.stdout

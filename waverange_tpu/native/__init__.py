@@ -123,7 +123,7 @@ def encode_planes_batch(planes: np.ndarray, nthreads: int | None = None
     total = lib.wrn_encode_planes_batch(
         _u8p(planes), nplanes, n, _u8p(out), cap, _u64p(lens), nt)
     if total > cap:
-        out = np.empty(total, dtype=np.uint64)
+        out = np.empty(total, dtype=np.uint8)
         total = lib.wrn_encode_planes_batch(
             _u8p(planes), nplanes, n, _u8p(out), total, _u64p(lens), nt)
     return out[:total].tobytes(), lens

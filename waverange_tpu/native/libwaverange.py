@@ -62,7 +62,10 @@ void setup_wr(int nx, int ny, int nz, unsigned char *nlaymax,
 
 
 def build_libwaverange(dest_dir: str | Path = None) -> Path:
-    """Build and install lib + header; returns the lib directory."""
+    """Build and install shared + static lib and header; returns the lib
+    directory (reference products: libwaverange.{a,so} + wrappers.h)."""
+    import subprocess
+
     root = Path(dest_dir) if dest_dir else \
         Path(__file__).resolve().parents[2] / "build"
     libdir = root / "lib"
@@ -71,6 +74,18 @@ def build_libwaverange(dest_dir: str | Path = None) -> Path:
     incdir.mkdir(parents=True, exist_ok=True)
     so = ensure_built()
     shutil.copyfile(so, libdir / "libwaverange.so")
+    # static archive from a non-PIC-agnostic object build
+    from .build import CXX, CXXFLAGS, _SRC
+    obj = libdir / "wr_native.o"
+    flags = [f for f in CXXFLAGS if f != "-shared"]
+    subprocess.run([CXX, *flags, "-c", "-o", str(obj), str(_SRC)],
+                   check=True, capture_output=True)
+    ar = libdir / "libwaverange.a"
+    if ar.exists():
+        ar.unlink()
+    subprocess.run(["ar", "rcs", str(ar), str(obj)], check=True,
+                   capture_output=True)
+    obj.unlink()
     (incdir / "waverange.h").write_text(HEADER)
     return libdir
 
