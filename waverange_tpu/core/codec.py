@@ -18,7 +18,7 @@ Contract reference: encoding_wrap/decoding_wrap
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

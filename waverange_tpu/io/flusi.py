@@ -16,7 +16,7 @@ Compatible with the reference's flusi wrenc/wrdec (src/flusi/):
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

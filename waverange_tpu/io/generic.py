@@ -16,8 +16,7 @@ is a vectorized numpy view/transpose (identical bytes, ~100x faster).
 """
 from __future__ import annotations
 
-import io
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import BinaryIO, List, Optional, TextIO
 
 import numpy as np

@@ -20,10 +20,7 @@ Byte-compatible with the reference's wrmssgenc/wrmssgdec (src/mssg/):
 """
 from __future__ import annotations
 
-import io
-import os
-from dataclasses import dataclass
-from typing import Dict, List, Optional, TextIO, Tuple
+from typing import Dict, List, TextIO, Tuple
 
 import numpy as np
 
@@ -100,7 +97,6 @@ def read_control_file(path: str):
     # var/rec pairs in file order; dsettab[rec-1] = var
     dsettab = [""] * NDSMAX
     ndset = 0
-    it = iter(pairs)
     seq = [p for p in pairs if p[0] in ("var", "rec")]
     for i in range(0, len(seq) - 1, 2):
         if seq[i][0] == "var" and seq[i + 1][0] == "rec":

@@ -13,7 +13,6 @@ from __future__ import annotations
 import hashlib
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 _SRC = Path(__file__).parent / "src" / "wr_native.cc"

@@ -13,8 +13,6 @@ Only even line lengths are supported (odd falls back to the XLA op).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
