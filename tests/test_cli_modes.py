@@ -2,6 +2,7 @@
 decode, and interactive encode — compared against the oracle binaries,
 which are driven through the same stdin protocol."""
 import ctypes as ct
+import pytest
 import subprocess
 
 import numpy as np
@@ -45,3 +46,39 @@ def test_stdin_decode_matches_oracle(oracle, tmp_path):
                    check=True, capture_output=True, env=env)
     assert (tmp_path / "m" / "datarec.bin").read_bytes() == \
         (tmp_path / "o" / "datarec.bin").read_bytes()
+
+
+def test_header_field_mismatch_raises(tmp_path):
+    """Decoder errors out when the header's field id doesn't match
+    (reference throws std::exception — gen_aux.cpp:567)."""
+    import shutil
+    from pathlib import Path
+    from waverange_tpu.io.generic import decode_generic_file
+    G = Path(__file__).parent / "golden"
+    wrh = (G / "data.wrh").read_text()
+    # corrupt the per-field id line (first line after the ' -----' marker)
+    lines = wrh.splitlines()
+    idx = lines.index(" -----") + 1
+    lines[idx] = "7"
+    (tmp_path / "bad.wrh").write_text("\n".join(lines) + "\n")
+    shutil.copy(G / "data.wrb", tmp_path / "data.wrb")
+    with pytest.raises(ValueError, match="header"):
+        decode_generic_file(str(tmp_path / "data.wrb"),
+                            str(tmp_path / "bad.wrh"),
+                            str(tmp_path / "out.bin"), 2, False,
+                            verbose=False)
+
+
+def test_truncated_payload_raises(tmp_path):
+    import shutil
+    from pathlib import Path
+    from waverange_tpu.io.generic import decode_generic_file
+    G = Path(__file__).parent / "golden"
+    shutil.copy(G / "data.wrh", tmp_path / "data.wrh")
+    (tmp_path / "data.wrb").write_bytes(
+        (G / "data.wrb").read_bytes()[:100])
+    with pytest.raises(Exception):
+        decode_generic_file(str(tmp_path / "data.wrb"),
+                            str(tmp_path / "data.wrh"),
+                            str(tmp_path / "out.bin"), 2, False,
+                            verbose=False)

@@ -136,6 +136,10 @@ def decode_planes_batch(payload: bytes | np.ndarray, lens: np.ndarray, n: int,
         payload, (bytes, bytearray)) else np.ascontiguousarray(payload, np.uint8)
     lens = np.ascontiguousarray(lens, dtype=np.uint64)
     nplanes = lens.size
+    if buf.size < int(lens.sum()):
+        raise ValueError(
+            f"encoded payload truncated: {buf.size} bytes, lengths "
+            f"declare {int(lens.sum())}")
     syms = np.empty((nplanes, n), dtype=np.uint8)
     lib.wrn_decode_planes_batch(
         _u8p(buf), _u64p(lens), nplanes, _u8p(syms), n,
@@ -223,6 +227,12 @@ def decode_field(meta: dict, shape: Tuple[int, int, int]) -> np.ndarray:
     nz, ny, nx = shape
     fld = np.empty(shape, dtype=np.float64)
     data = np.frombuffer(meta["data"], dtype=np.uint8)
+    need = int(np.asarray(meta["len_enc_vec"][:meta["nlay"]],
+                          np.uint64).sum())
+    if data.size < need:
+        raise ValueError(
+            f"encoded payload truncated: {data.size} bytes, header "
+            f"declares {need}")
     deps_vec = np.ascontiguousarray(meta["deps_vec"], dtype=np.float64)
     minval_vec = np.ascontiguousarray(meta["minval_vec"], dtype=np.float64)
     len_enc_vec = np.ascontiguousarray(meta["len_enc_vec"], dtype=np.uint64)
