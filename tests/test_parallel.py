@@ -100,3 +100,47 @@ def test_gather_streams_ordered_single_process():
     ids = [2, 0, 1]
     out = gather_streams_ordered(streams, ids)
     assert out == [b"a", b"bb", b"ccc"]
+
+
+def test_distributed_united_matches_single(mesh):
+    """distributed_encode_step (sharded level-1 wavelet + collective
+    quantizer) must reproduce the single-device encode step's symbol
+    planes for divisible shapes."""
+    from waverange_tpu.parallel.mesh import distributed_encode_step
+    shape = (32, 16, 16)  # nz divisible by 2*8, ny by 8, even to level 4
+    fld = smooth_field(shape) + 0.01 * np.random.default_rng(5) \
+        .standard_normal(shape)
+    step = distributed_encode_step(mesh, shape)
+    slabs = jax.device_put(
+        jnp.asarray(fld),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
+    planes, deps, minv, nlay, tolabs, midval, halfspan, trivial = step(
+        slabs, 1e-6)
+    nlay = int(nlay)
+    single = codec.encode_field(fld, 1e-6, backend="jax")
+    assert nlay == single.nlay
+    assert float(tolabs) == pytest.approx(single.tolabs, rel=1e-12)
+    payload, lens = wn.encode_planes_batch(np.asarray(planes[:nlay]))
+    if payload != single.data:
+        # fall back to element-level comparison for diagnostics
+        pj = np.asarray(planes[:nlay])
+        import waverange_tpu.native as wn2
+        pn = wn2.decode_planes_batch(single.data,
+                                     single.len_enc_vec[:nlay],
+                                     fld.size)
+        diff = int((pj != pn).sum())
+        assert diff == 0, f"{diff} symbol diffs"
+
+
+def test_distributed_united_fallback():
+    """Non-divisible shapes fall back to the gather-based united step."""
+    from waverange_tpu.parallel.mesh import distributed_encode_step
+    mesh = make_mesh()
+    shape = (16, 10, 14)  # ny not divisible by D -> fallback
+    step = distributed_encode_step(mesh, shape)  # falls back silently
+    fld = smooth_field(shape)
+    slabs = jax.device_put(
+        jnp.asarray(fld),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
+    out = step(slabs, 1e-5)
+    assert int(out[3]) >= 1
