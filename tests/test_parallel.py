@@ -144,3 +144,24 @@ def test_distributed_united_fallback():
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
     out = step(slabs, 1e-5)
     assert int(out[3]) >= 1
+
+
+def test_distributed_decode_matches_single(mesh):
+    from waverange_tpu.parallel.mesh import (distributed_encode_step,
+                                             distributed_decode_step)
+    from waverange_tpu.ops.quant import decode_step
+    shape = (32, 16, 16)
+    fld = smooth_field(shape)
+    estep = distributed_encode_step(mesh, shape)
+    slabs = jax.device_put(
+        jnp.asarray(fld),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
+    planes, deps, minv, nlay, *_ = estep(slabs, 1e-6)
+    nlay = int(nlay)
+    dstep = distributed_decode_step(mesh, shape)
+    rec = np.asarray(dstep(planes[:nlay], deps[:nlay], minv[:nlay]))
+    # single-device decode of the same planes
+    ref = np.asarray(decode_step(planes[:nlay], deps[:nlay], minv[:nlay],
+                                 shape=shape, levels=4))
+    assert np.abs(rec - ref).max() <= 1e-13 * max(np.abs(ref).max(), 1.0)
+    assert np.abs(rec - fld).max() <= 1.3e-6 * np.abs(fld).max()

@@ -402,3 +402,87 @@ def distributed_encode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
                       jnp.asarray(1.75, dtype), jnp.asarray(255.0, dtype))
 
     return run
+
+
+def distributed_decode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
+    """Distributed counterpart of `distributed_encode_step`: layer
+    accumulation on z-major-sharded planes, deep inverse levels on the
+    psum-assembled half-box, and the level-1 inverse sweeps sharded
+    (z via all_to_all transpose, y/x local).
+
+    Returns run(planes, deps, minv) -> (nz, ny, nx) field sharded P(d).
+    planes: (nlay, n) z-major with the last axis sharded over the mesh.
+    Falls back to the single-device `decode_step` (replicated) for
+    non-divisible shapes.
+    """
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    nz, ny, nx = shape
+
+    def _ok():
+        if nz % (2 * D) or ny % D:
+            return False
+        a = [nz, ny, nx]
+        for _ in range(levels):
+            if any(v % 2 for v in a):
+                return False
+            a = [v // 2 for v in a]
+        return True
+
+    if not _ok():
+        fn = jax.jit(partial(decode_step, shape=shape, levels=levels))
+
+        def run_fallback(planes, deps, minv):
+            return fn(planes, deps, minv)
+
+        return run_fallback
+
+    from ..ops.wavelet import _lift_inv_axis, cdf97_inverse
+
+    nzl = nz // D
+    hz = nz // 2
+
+    def step(planes, deps, minv):
+        def local(pl, deps, minv):
+            # pl: (nlay, n/D) — this rank's z-slab symbols per layer
+            dtype = deps.dtype
+            r = jax.lax.axis_index(axis)
+            acc = jnp.zeros(pl.shape[1:], dtype)
+            for l in range(pl.shape[0]):
+                acc = acc + (pl[l].astype(dtype) * deps[l] + minv[l])
+            sl = acc.reshape(nzl, ny, nx)
+
+            # deep inverse levels on the replicated half-box corner
+            contrib = jnp.zeros((hz, ny, nx), dtype)
+            start = jnp.clip(r * nzl, 0, hz - nzl).astype(jnp.int32)
+            zero = jnp.int32(0)
+            masked = jnp.where(r < D // 2, sl, jnp.zeros_like(sl))
+            contrib = jax.lax.dynamic_update_slice(
+                contrib, masked, (start, zero, zero))
+            halfbox = jax.lax.psum(contrib, axis)
+            act = halfbox[:, :ny // 2, :nx // 2]
+            act = cdf97_inverse(act, levels - 1)
+            halfbox = halfbox.at[:, :ny // 2, :nx // 2].set(act)
+            from_half = jax.lax.dynamic_slice(
+                halfbox, (start, zero, zero), (nzl, ny, nx))
+            sl = jnp.where(r < D // 2, from_half, sl)
+
+            # level-1 inverse: z (transposed), then y, then x
+            t = jax.lax.all_to_all(sl, axis, split_axis=1,
+                                   concat_axis=0, tiled=True)
+            t = _lift_inv_axis(t, 0)
+            sl = jax.lax.all_to_all(t, axis, split_axis=0,
+                                    concat_axis=1, tiled=True)
+            sl = _lift_inv_axis(sl, 1)
+            sl = _lift_inv_axis(sl, 2)
+            return sl
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis), P(), P()),
+            out_specs=P(axis, None, None),
+            check_vma=False)(planes, deps, minv)
+
+    return jax.jit(step)
