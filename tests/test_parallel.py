@@ -165,3 +165,25 @@ def test_distributed_decode_matches_single(mesh):
                                  shape=shape, levels=4))
     assert np.abs(rec - ref).max() <= 1e-13 * max(np.abs(ref).max(), 1.0)
     assert np.abs(rec - fld).max() <= 1.3e-6 * np.abs(fld).max()
+
+
+def test_distributed_deep_recursion(mesh):
+    """(64,32,32) exercises three fully-distributed levels (ppermute
+    redistribution) before the replicated fallback at level 4."""
+    from waverange_tpu.parallel.mesh import (distributed_encode_step,
+                                             distributed_decode_step)
+    shape = (64, 32, 32)
+    fld = smooth_field(shape)
+    estep = distributed_encode_step(mesh, shape)
+    slabs = jax.device_put(
+        jnp.asarray(fld),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
+    planes, deps, minv, nlay, *_ = estep(slabs, 1e-7)
+    nlay = int(nlay)
+    single = codec.encode_field(fld, 1e-7, backend="jax")
+    assert nlay == single.nlay
+    payload, lens = wn.encode_planes_batch(np.asarray(planes[:nlay]))
+    assert payload == single.data
+    dstep = distributed_decode_step(mesh, shape)
+    rec = np.asarray(dstep(planes[:nlay], deps[:nlay], minv[:nlay]))
+    assert np.abs(rec - fld).max() <= 1.3e-7 * np.abs(fld).max()

@@ -317,16 +317,11 @@ def distributed_encode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
     if not _ok():
         return united_encode_step(mesh, shape, levels)
 
-    from ..ops.wavelet import _lift_fwd_axis, cdf97_forward
     from ..ops.quant import NLAYMAX
-
-    nzl = nz // D
-    hz = nz // 2  # level-1 low-pass z extent
 
     def step(slabs, tolrel, wav_acc, qalpha):
         def local(sl, tolrel, wav_acc, qalpha):
             dtype = sl.dtype
-            r = jax.lax.axis_index(axis)
             gmn = jax.lax.pmin(jnp.min(sl), axis)
             gmx = jax.lax.pmax(jnp.max(sl), axis)
             halfspan = (gmx - gmn) / 2
@@ -336,33 +331,12 @@ def distributed_encode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
             tolabs = (tolrel * jnp.maximum(jnp.abs(gmn), jnp.abs(gmx))
                       / wav_acc)
 
-            # --- level 1, sharded ---
-            sub = _lift_fwd_axis(sl, 2)      # x sweep (local)
-            sub = _lift_fwd_axis(sub, 1)     # y sweep (local)
-            t = jax.lax.all_to_all(sub, axis, split_axis=1,
-                                   concat_axis=0, tiled=True)
-            t = _lift_fwd_axis(t, 0)         # z sweep (z now local)
-            sub = jax.lax.all_to_all(t, axis, split_axis=0,
-                                     concat_axis=1, tiled=True)
-
-            # --- assemble the replicated low-pass half-box via psum ---
-            contrib = jnp.zeros((hz, ny, nx), dtype)
-            start = jnp.clip(r * nzl, 0, hz - nzl).astype(jnp.int32)
-            zero = jnp.int32(0)
-            masked = jnp.where(r < D // 2, sub, jnp.zeros_like(sub))
-            contrib = jax.lax.dynamic_update_slice(
-                contrib, masked.astype(dtype), (start, zero, zero))
-            halfbox = jax.lax.psum(contrib, axis)
-
-            # --- deeper levels, replicated on the small active box ---
-            act = halfbox[:, :ny // 2, :nx // 2]
-            act = cdf97_forward(act, levels - 1)
-            halfbox = halfbox.at[:, :ny // 2, :nx // 2].set(act)
-
-            # --- final wavelet slab for this rank ---
-            from_half = jax.lax.dynamic_slice(
-                halfbox, (start, zero, zero), (nzl, ny, nx))
-            w = jnp.where(r < D // 2, from_half, sub)
+            # --- fully-distributed multiresolution: every level's x/y
+            # sweeps run local, z sweeps on all_to_all transposes, and
+            # the shrinking low-pass box is re-distributed across all
+            # ranks with ppermutes (replicated fallback only once the
+            # extents stop dividing) ---
+            w = _dist_fwd_recursive(sl, nz, ny, nx, levels, D, axis)
 
             # --- distributed 8-layer quantizer ---
             flat = w.reshape(-1)
@@ -439,45 +413,17 @@ def distributed_decode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
 
         return run_fallback
 
-    from ..ops.wavelet import _lift_inv_axis, cdf97_inverse
-
     nzl = nz // D
-    hz = nz // 2
 
     def step(planes, deps, minv):
         def local(pl, deps, minv):
             # pl: (nlay, n/D) — this rank's z-slab symbols per layer
             dtype = deps.dtype
-            r = jax.lax.axis_index(axis)
             acc = jnp.zeros(pl.shape[1:], dtype)
             for l in range(pl.shape[0]):
                 acc = acc + (pl[l].astype(dtype) * deps[l] + minv[l])
             sl = acc.reshape(nzl, ny, nx)
-
-            # deep inverse levels on the replicated half-box corner
-            contrib = jnp.zeros((hz, ny, nx), dtype)
-            start = jnp.clip(r * nzl, 0, hz - nzl).astype(jnp.int32)
-            zero = jnp.int32(0)
-            masked = jnp.where(r < D // 2, sl, jnp.zeros_like(sl))
-            contrib = jax.lax.dynamic_update_slice(
-                contrib, masked, (start, zero, zero))
-            halfbox = jax.lax.psum(contrib, axis)
-            act = halfbox[:, :ny // 2, :nx // 2]
-            act = cdf97_inverse(act, levels - 1)
-            halfbox = halfbox.at[:, :ny // 2, :nx // 2].set(act)
-            from_half = jax.lax.dynamic_slice(
-                halfbox, (start, zero, zero), (nzl, ny, nx))
-            sl = jnp.where(r < D // 2, from_half, sl)
-
-            # level-1 inverse: z (transposed), then y, then x
-            t = jax.lax.all_to_all(sl, axis, split_axis=1,
-                                   concat_axis=0, tiled=True)
-            t = _lift_inv_axis(t, 0)
-            sl = jax.lax.all_to_all(t, axis, split_axis=0,
-                                    concat_axis=1, tiled=True)
-            sl = _lift_inv_axis(sl, 1)
-            sl = _lift_inv_axis(sl, 2)
-            return sl
+            return _dist_inv_recursive(sl, nz, ny, nx, levels, D, axis)
 
         return shard_map(
             local, mesh=mesh,
@@ -486,3 +432,133 @@ def distributed_decode_step(mesh: Mesh, shape, levels: int = WAV_LVL):
             check_vma=False)(planes, deps, minv)
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Fully-distributed multiresolution (per-level redistribution)
+# ---------------------------------------------------------------------------
+
+def _level_divisible(az, ay, ax, D):
+    """Can level (az, ay, ax) be transformed fully sharded over D ranks?"""
+    return (az % (2 * D) == 0 and ay % D == 0 and ay % 2 == 0
+            and ax % 2 == 0)
+
+
+def _dist_fwd_recursive(shard, az, ay, ax, lvls, D, axis):
+    """Forward-transform `lvls` levels of an active box compact-sharded
+    over z: each rank holds (az/D, ay, ax). Per level: x/y sweeps local,
+    z sweep on an all_to_all transpose, then the low-pass half's rows are
+    re-distributed with two ppermutes so the recursion stays sharded.
+    Falls back to a psum-replicated transform for levels whose extents
+    stop dividing (tiny by then)."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.wavelet import _lift_fwd_axis, cdf97_forward
+
+    if lvls == 0:
+        return shard
+    if not _level_divisible(az, ay, ax, D):
+        # replicate the remaining (small) active box via psum and keep
+        # only this rank's rows of the result
+        azl = az // D
+        r = jax.lax.axis_index(axis)
+        start = (r * azl).astype(jnp.int32)
+        zero = jnp.int32(0)
+        contrib = jnp.zeros((az, ay, ax), shard.dtype)
+        contrib = jax.lax.dynamic_update_slice(contrib, shard,
+                                               (start, zero, zero))
+        box = jax.lax.psum(contrib, axis)
+        box = cdf97_forward(box, lvls)
+        return jax.lax.dynamic_slice(box, (start, zero, zero),
+                                     (azl, ay, ax))
+
+    azl = az // D
+    sub = _lift_fwd_axis(shard, 2)
+    sub = _lift_fwd_axis(sub, 1)
+    t = jax.lax.all_to_all(sub, axis, split_axis=1, concat_axis=0,
+                           tiled=True)
+    t = _lift_fwd_axis(t, 0)
+    sub = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
+                             tiled=True)
+
+    # Redistribute the low-pass half rows z[0:az/2] (on ranks < D/2,
+    # 2c rows each) so every rank gets c = az/(2D) compact rows.
+    c = az // (2 * D)
+    lo0 = sub[:c]          # rows destined for rank 2r
+    lo1 = sub[c:2 * c]     # rows destined for rank 2r + 1
+    perm0 = [(r, 2 * r) for r in range(D // 2)]
+    perm1 = [(r, 2 * r + 1) for r in range(D // 2)]
+    half0 = jax.lax.ppermute(lo0, axis, perm0)
+    half1 = jax.lax.ppermute(lo1, axis, perm1)
+    half = half0 + half1   # exactly one is nonzero per rank
+
+    corner = half[:, :ay // 2, :ax // 2]
+    corner = _dist_fwd_recursive(corner, az // 2, ay // 2, ax // 2,
+                                 lvls - 1, D, axis)
+    half = half.at[:, :ay // 2, :ax // 2].set(corner)
+
+    # Send the transformed half rows back to their parent-layout ranks.
+    back0 = jax.lax.ppermute(half, axis, [(d, s) for (s, d) in perm0])
+    back1 = jax.lax.ppermute(half, axis, [(d, s) for (s, d) in perm1])
+    restored = jnp.concatenate([back0[:c], back1[:c]], axis=0)
+    r = jax.lax.axis_index(axis)
+    sub = jnp.where(r < D // 2,
+                    jnp.concatenate([restored, sub[2 * c:]], axis=0)
+                    if 2 * c < azl else restored,
+                    sub)
+    return sub
+
+
+def _dist_inv_recursive(shard, az, ay, ax, lvls, D, axis):
+    """Inverse of `_dist_fwd_recursive` (coarsest level first)."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.wavelet import _lift_inv_axis, cdf97_inverse
+
+    if lvls == 0:
+        return shard
+    if not _level_divisible(az, ay, ax, D):
+        azl = az // D
+        r = jax.lax.axis_index(axis)
+        start = (r * azl).astype(jnp.int32)
+        zero = jnp.int32(0)
+        contrib = jnp.zeros((az, ay, ax), shard.dtype)
+        contrib = jax.lax.dynamic_update_slice(contrib, shard,
+                                               (start, zero, zero))
+        box = jax.lax.psum(contrib, axis)
+        box = cdf97_inverse(box, lvls)
+        return jax.lax.dynamic_slice(box, (start, zero, zero),
+                                     (azl, ay, ax))
+
+    azl = az // D
+    c = az // (2 * D)
+    # gather this level's low-pass half into compact sharding
+    perm0 = [(r, 2 * r) for r in range(D // 2)]
+    perm1 = [(r, 2 * r + 1) for r in range(D // 2)]
+    half0 = jax.lax.ppermute(shard[:c], axis, perm0)
+    half1 = jax.lax.ppermute(shard[c:2 * c], axis, perm1)
+    half = half0 + half1
+
+    corner = half[:, :ay // 2, :ax // 2]
+    corner = _dist_inv_recursive(corner, az // 2, ay // 2, ax // 2,
+                                 lvls - 1, D, axis)
+    half = half.at[:, :ay // 2, :ax // 2].set(corner)
+
+    back0 = jax.lax.ppermute(half, axis, [(d, s) for (s, d) in perm0])
+    back1 = jax.lax.ppermute(half, axis, [(d, s) for (s, d) in perm1])
+    restored = jnp.concatenate([back0[:c], back1[:c]], axis=0)
+    r = jax.lax.axis_index(axis)
+    shard = jnp.where(r < D // 2,
+                      jnp.concatenate([restored, shard[2 * c:]], axis=0)
+                      if 2 * c < azl else restored,
+                      shard)
+
+    # level-1-of-this-depth inverse: z (transposed), y, x
+    t = jax.lax.all_to_all(shard, axis, split_axis=1, concat_axis=0,
+                           tiled=True)
+    t = _lift_inv_axis(t, 0)
+    shard = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
+                               tiled=True)
+    shard = _lift_inv_axis(shard, 1)
+    shard = _lift_inv_axis(shard, 2)
+    return shard
