@@ -94,6 +94,30 @@ class OracleHarness:
             len_enc_vec=np.frombuffer(raw[162:226], dtype=np.uint64).copy(),
             data=raw[226:226 + ne])
 
+    def encode_masked(self, a: np.ndarray, wtflag: int, mx: int, my: int,
+                      mz: int, cutoffs) -> dict:
+        """encoding_wrap with a non-uniform (mx,my,mz) cutoff grid."""
+        import struct
+        nz, ny, nx = a.shape
+        fin = self.tmp / "o_in.f64"
+        fout = self.tmp / "o_enc.bin"
+        np.ascontiguousarray(a, np.float64).tofile(fin)
+        args = [self.exe, "encodem", str(nx), str(ny), str(nz),
+                str(wtflag), str(mx), str(my), str(mz), str(fin),
+                str(fout)] + [repr(float(c)) for c in cutoffs]
+        subprocess.run(args, check=True, capture_output=True)
+        raw = Path(fout).read_bytes()
+        tolabs, midval, hsv = struct.unpack("<3d", raw[:24])
+        wlev, nlay = raw[24], raw[25]
+        (ne,) = struct.unpack("<Q", raw[26:34])
+        return dict(
+            tolabs=tolabs, midval=midval, halfspanval=hsv, wlev=wlev,
+            nlay=nlay, ntot_enc=ne,
+            deps_vec=np.frombuffer(raw[34:98]).copy(),
+            minval_vec=np.frombuffer(raw[98:162]).copy(),
+            len_enc_vec=np.frombuffer(raw[162:226], dtype=np.uint64).copy(),
+            data=raw[226:226 + ne])
+
     def decode(self, meta: dict, shape) -> np.ndarray:
         import struct
         nz, ny, nx = shape

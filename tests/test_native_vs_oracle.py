@@ -115,3 +115,24 @@ def test_fuzz_shapes_and_tolerances(oracle):
         md = wn.decode_field(mm, a.shape)
         assert np.array_equal(od.view(np.uint64), md.view(np.uint64)), \
             (nx, ny, nz, tol, wt)
+
+
+@pytest.mark.parametrize("wt", [1, 0])
+def test_local_cutoff_bitexact(oracle, wt):
+    """Non-uniform (mx,my,mz) cutoff path: exercises ind_p2w_3d +
+    lcl_prec per element (wrappers.cpp:343-379). With wtflag=1 the
+    level-latch quirk makes it uniform at the min cutoff; with wtflag=0
+    the per-block mask genuinely fires (l=0 <= LOC_CUTOFF_LVL)."""
+    a = smooth_field((16, 12, 8))
+    mx, my, mz = 2, 2, 2
+    cutoffs = [1e-4, 1e-6, 1e-5, 1e-3, 1e-6, 1e-4, 1e-5, 1e-6]
+    om = oracle.encode_masked(a.copy(), wt, mx, my, mz, cutoffs)
+    mm = wn.encode_field(a.copy(), wtflag=wt,
+                         cutoff=np.array(cutoffs), mx=mx, my=my, mz=mz)
+    assert om["nlay"] == mm["nlay"]
+    assert om["tolabs"] == mm["tolabs"]
+    assert np.array_equal(np.asarray(om["deps_vec"]), mm["deps_vec"])
+    assert om["data"] == mm["data"]
+    od = oracle.decode(om, a.shape)
+    md = wn.decode_field(mm, a.shape)
+    assert np.array_equal(od.view(np.uint64), md.view(np.uint64))

@@ -114,6 +114,45 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (mode == "encodem") {
+    // encode with a non-uniform (mx,my,mz) cutoff grid: cutoffs follow
+    // as argv values after the input path
+    int nx = atoi(argv[2]), ny = atoi(argv[3]), nz = atoi(argv[4]);
+    int wtflag = atoi(argv[5]);
+    int mx = atoi(argv[6]), my = atoi(argv[7]), mz = atoi(argv[8]);
+    auto buf = slurp(argv[9]);
+    int mtot = mx * my * mz;
+    std::vector<double> cutoff(mtot);
+    for (int k = 0; k < mtot; k++) cutoff[k] = atof(argv[11 + k]);
+    unsigned long ntot = (unsigned long)nx * ny * nz;
+    double tolabs, midval, halfspanval;
+    unsigned char wlev, nlay;
+    unsigned long ntot_enc;
+    double deps_vec[8] = {0}, minval_vec[8] = {0};
+    unsigned long len_enc_vec[8] = {0};
+    std::vector<unsigned char> data_enc(8UL * (ntot < 1024 ? 1024 : ntot));
+    encoding_wrap(nx, ny, nz, (double*)buf.data(), wtflag, mx, my, mz,
+                  cutoff.data(), tolabs, midval, halfspanval, wlev, nlay,
+                  ntot_enc, deps_vec, minval_vec, len_enc_vec,
+                  data_enc.data());
+    FILE* f = fopen(argv[10], "wb");
+    fwrite(&tolabs, 8, 1, f);
+    fwrite(&midval, 8, 1, f);
+    fwrite(&halfspanval, 8, 1, f);
+    fwrite(&wlev, 1, 1, f);
+    fwrite(&nlay, 1, 1, f);
+    uint64_t ne = ntot_enc;
+    fwrite(&ne, 8, 1, f);
+    fwrite(deps_vec, 8, 8, f);
+    fwrite(minval_vec, 8, 8, f);
+    uint64_t lev[8];
+    for (int i = 0; i < 8; i++) lev[i] = len_enc_vec[i];
+    fwrite(lev, 8, 8, f);
+    fwrite(data_enc.data(), 1, ntot_enc, f);
+    fclose(f);
+    return 0;
+  }
+
   if (mode == "decode") {
     int nx = atoi(argv[2]), ny = atoi(argv[3]), nz = atoi(argv[4]);
     auto buf = slurp(argv[5]);
