@@ -271,6 +271,23 @@ class RangeDecoder {
 //   When n % 60000 == 0 an empty block (256 zero counts) is emitted before
 //   the end marker — part of the bitstream contract.
 // ----------------------------------------------------------------------------
+// Per-block 256-bin histogram. Four sub-histograms break the
+// store-to-load forwarding chain on runs of equal symbols (the common
+// case in low-entropy residual layers); summed at the end.
+static inline void hist256(const u8* p, u64 n, u32* counts /* >=256 */) {
+  u32 h[4][256] = {{0}};
+  u64 i = 0;
+  for (; i + 4 <= n; i += 4) {
+    h[0][p[i]]++;
+    h[1][p[i + 1]]++;
+    h[2][p[i + 2]]++;
+    h[3][p[i + 3]]++;
+  }
+  for (; i < n; ++i) h[0][p[i]]++;
+  for (int s = 0; s < 256; ++s)
+    counts[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+}
+
 // Appends the plane's stream to `out`. The coder writes through a small
 // per-block scratch (worst case < 2 bytes/symbol + 514 bytes of model
 // data) that stays cache-hot; `out` grows to the actual stream size only.
@@ -288,9 +305,9 @@ void encode_plane(const u8* syms, u64 n, std::vector<u8>& out) {
   for (;;) {
     u64 bs = std::min<u64>(kBlockSymbols, n - pos);
     enc.encode(1, 1, 2);  // block-present marker
-    std::memset(counts, 0, sizeof(counts));
     const u8* p = syms + pos;
-    for (u64 i = 0; i < bs; ++i) counts[p[i]]++;
+    hist256(p, bs, counts);
+    counts[256] = 0;
     for (int i = 0; i < 256; ++i) enc.put_u16(counts[i]);
     // Exclusive cumulative sums: counts[i] = #symbols < i, counts[256] = bs.
     u32 cum = 0;
@@ -349,6 +366,133 @@ u64 decode_plane(const u8* data, u64 len, u8* syms, u64 n_expected) {
   }
   dec.finish();
   return pos;
+}
+
+// ----------------------------------------------------------------------------
+// K-way interleaved plane coding.
+//
+// All byte layers of one field carry exactly n symbols, so their block
+// framing (block count, per-block sizes, the empty trailing block at
+// n % 60000 == 0) is structurally identical. Encoding/decoding K such
+// streams in lockstep keeps K independent coder dependency chains
+// (normalize -> divide -> range update) in flight per core; the emitted
+// bytes of each stream are bit-identical to a solo encode_plane /
+// decode_plane call — the states never interact.
+// ----------------------------------------------------------------------------
+template <int K>
+static void encode_planes_il(const u8* const* syms, u64 n,
+                             std::vector<u8>* outs) {
+  const u64 span = 2 * kBlockSymbols + 4096;
+  u64 nblocks = n / kBlockSymbols + 2;
+  for (int k = 0; k < K; ++k)
+    outs[k].reserve(outs[k].size() + 2 * n + nblocks * 1100 + 64);
+  std::vector<u8> scratch(span * K);
+  std::vector<RangeEncoder> encs;
+  encs.reserve(K);
+  for (int k = 0; k < K; ++k)
+    encs.emplace_back(scratch.data() + u64(k) * span, 0);
+  u32 counts[K][257];
+  u64 pos = 0;
+  for (;;) {
+    const u64 bs = std::min<u64>(kBlockSymbols, n - pos);
+    for (int k = 0; k < K; ++k) encs[k].encode(1, 1, 2);
+    for (int k = 0; k < K; ++k) {
+      hist256(syms[k] + pos, bs, counts[k]);
+      counts[k][256] = 0;
+    }
+    for (int i = 0; i < 256; ++i)
+      for (int k = 0; k < K; ++k) encs[k].put_u16(counts[k][i]);
+    for (int k = 0; k < K; ++k) {
+      u32 cum = 0;
+      for (int i = 0; i < 257; ++i) {
+        u32 c = counts[k][i];
+        counts[k][i] = cum;
+        cum += c;
+      }
+    }
+    if (bs) {
+      const MagicDiv md = MagicDiv::make(u32(bs));
+      const u8* p[K];
+      for (int k = 0; k < K; ++k) p[k] = syms[k] + pos;
+      for (u64 i = 0; i < bs; ++i) {
+        for (int k = 0; k < K; ++k) {
+          u8 ch = p[k][i];
+          encs[k].encode_m(counts[k][ch + 1] - counts[k][ch], counts[k][ch],
+                           u32(bs), md);
+        }
+      }
+    }
+    for (int k = 0; k < K; ++k) {
+      u64 w = encs[k].drain();
+      const u8* s = scratch.data() + u64(k) * span;
+      outs[k].insert(outs[k].end(), s, s + w);
+    }
+    pos += bs;
+    if (bs < kBlockSymbols) break;
+  }
+  for (int k = 0; k < K; ++k) {
+    encs[k].encode(1, 0, 2);
+    encs[k].finish();
+    u64 w = encs[k].drain();
+    const u8* s = scratch.data() + u64(k) * span;
+    outs[k].insert(outs[k].end(), s, s + w);
+  }
+}
+
+// Decode K equal-length streams in lockstep. Conforming streams of the
+// same n have identical framing; for corrupt input the output is garbage
+// (matching decode_plane's no-integrity-check contract) but never reads
+// out of bounds (inv tables are padded to the lockstep block size).
+template <int K>
+static void decode_planes_il(const u8* const* data, const u64* lens,
+                             u8* const* syms, u64 n) {
+  std::vector<RangeDecoder> decs;
+  decs.reserve(K);
+  for (int k = 0; k < K; ++k) decs.emplace_back(data[k], lens[k]);
+  u32 counts[K][257];
+  std::vector<u8> inv[K];
+  u64 pos = 0;
+  for (;;) {
+    u32 marker = decs[0].cul_freq(2);
+    for (int k = 1; k < K; ++k) (void)decs[k].cul_freq(2);
+    if (marker != 1) break;
+    for (int k = 0; k < K; ++k) decs[k].update(1, 1, 2);
+    u32 bs = 0;
+    for (int k = 0; k < K; ++k) {
+      u32 cum = 0;
+      for (int i = 0; i < 256; ++i) {
+        u32 c = decs[k].get_u16();
+        counts[k][i] = cum;
+        cum += c;
+      }
+      counts[k][256] = cum;
+      bs = std::max(bs, cum);
+    }
+    for (int k = 0; k < K; ++k) {
+      inv[k].assign(bs, 0);
+      for (int s = 0; s < 256; ++s)
+        for (u32 i = counts[k][s]; i < counts[k][s + 1]; ++i)
+          inv[k][i] = u8(s);
+    }
+    if (bs) {
+      const MagicDiv md = MagicDiv::make(bs);
+      for (u32 i = 0; i < bs; ++i) {
+        for (int k = 0; k < K; ++k) {
+          u32 cf = decs[k].cul_freq_m(bs, md);
+          u32 s = inv[k][cf];
+          decs[k].update(counts[k][s + 1] - counts[k][s], counts[k][s], bs);
+          if (pos + i < n) syms[k][pos + i] = u8(s);
+        }
+      }
+    }
+    pos += bs;
+    if (bs < kBlockSymbols) {
+      // short/empty block terminates; consume the end markers
+      for (int k = 0; k < K; ++k) (void)decs[k].cul_freq(2);
+      break;
+    }
+  }
+  for (int k = 0; k < K; ++k) decs[k].finish();
 }
 
 // ----------------------------------------------------------------------------
@@ -706,6 +850,60 @@ void wavelet3d_inverse(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
 }
 
 // ----------------------------------------------------------------------------
+// Interleave-width selection + grouped dispatch helpers.
+// ----------------------------------------------------------------------------
+// Defaults from measurement (see PERFORMANCE.md): the encoder is
+// throughput-bound (stores + renorm branches) and peaks at pairs; the
+// decoder's per-symbol udiv chain is latency-bound and keeps gaining
+// through 4 streams.
+static int il_width(bool decode) {
+  if (const char* e = getenv("WR_IL_STREAMS")) {
+    int v = atoi(e);
+    if (v == 1 || v == 2 || v == 4) return v;
+  }
+  return decode ? 4 : 2;
+}
+
+// Encode `cnt` (1..4) equal-length planes with the widest interleave.
+static void encode_planes_group(const u8* const* syms, int cnt, u64 n,
+                                std::vector<u8>* outs) {
+  switch (cnt) {
+    case 4:
+      encode_planes_il<4>(syms, n, outs);
+      break;
+    case 3: {
+      encode_planes_il<2>(syms, n, outs);
+      encode_plane(syms[2], n, outs[2]);
+      break;
+    }
+    case 2:
+      encode_planes_il<2>(syms, n, outs);
+      break;
+    default:
+      encode_plane(syms[0], n, outs[0]);
+  }
+}
+
+static void decode_planes_group(const u8* const* data, const u64* lens,
+                                int cnt, u8* const* syms, u64 n) {
+  switch (cnt) {
+    case 4:
+      decode_planes_il<4>(data, lens, syms, n);
+      break;
+    case 3: {
+      decode_planes_il<2>(data, lens, syms, n);
+      decode_plane(data[2], lens[2], syms[2], n);
+      break;
+    }
+    case 2:
+      decode_planes_il<2>(data, lens, syms, n);
+      break;
+    default:
+      decode_plane(data[0], lens[0], syms[0], n);
+  }
+}
+
+// ----------------------------------------------------------------------------
 // Physical->wavelet index map (contract: waveletcdf97_3d.c:473-553, including
 // the observed quirk that the returned level equals `levels` for any point
 // once it has moved at least once — chlvl latches and the level counter then
@@ -943,8 +1141,9 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   bool all_queued = false;
   bool layer_done[kLayersMax] = {false};
 
+  const int gw = std::min(2, il_width(false));
   auto work = [&]() {
-    int l;
+    int l, cnt;
     for (;;) {
       {
         std::unique_lock<std::mutex> lk(mu);
@@ -957,12 +1156,22 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
           if (all_queued) return;
           continue;
         }
-        l = next_claim++;
+        // opportunistic pairing: grab a second already-queued layer to
+        // interleave both coder streams on this core
+        l = next_claim;
+        cnt = std::min(gw, n_queued - next_claim);
+        next_claim += cnt;
       }
-      encode_plane(planebuf.data() + u64(l % slots) * n, n, streams[l]);
+      if (cnt == 2) {
+        const u8* p[2] = {planebuf.data() + u64(l % slots) * n,
+                          planebuf.data() + u64((l + 1) % slots) * n};
+        encode_planes_il<2>(p, n, &streams[l]);
+      } else {
+        encode_plane(planebuf.data() + u64(l % slots) * n, n, streams[l]);
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
-        layer_done[l] = true;
+        for (int k = 0; k < cnt; ++k) layer_done[l + k] = true;
       }
       cv.notify_all();
     }
@@ -1041,25 +1250,36 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
   int accumulated = 0;
   bool layer_ready[kLayersMax] = {false};
 
+  const int gw = std::min(2, il_width(true));
   auto work = [&]() {
     for (;;) {
-      int l;
+      int l, cnt;
       {
         std::lock_guard<std::mutex> lk(mu);
         if (next_claim >= int(nlay)) return;
-        l = next_claim++;
+        l = next_claim;
+        cnt = std::min(gw, int(nlay) - l);
+        next_claim += cnt;
       }
-      if (l >= slots) {
-        // slot reuse: previous occupant (layer l - slots) must be
-        // accumulated before we overwrite its plane
+      if (l + cnt - 1 >= slots) {
+        // slot reuse: previous occupants (layers l.. minus slots) must
+        // be accumulated before we overwrite their planes
         std::unique_lock<std::mutex> lk(mu);
-        cv.wait(lk, [&] { return accumulated > l - slots; });
+        cv.wait(lk, [&] { return accumulated > l + cnt - 1 - slots; });
       }
-      decode_plane(data_enc + offs[l], len_enc_vec[l],
-                   planebuf.data() + u64(l % slots) * n, n);
+      if (cnt == 2) {
+        const u8* d[2] = {data_enc + offs[l], data_enc + offs[l + 1]};
+        u64 ln[2] = {len_enc_vec[l], len_enc_vec[l + 1]};
+        u8* s[2] = {planebuf.data() + u64(l % slots) * n,
+                    planebuf.data() + u64((l + 1) % slots) * n};
+        decode_planes_il<2>(d, ln, s, n);
+      } else {
+        decode_plane(data_enc + offs[l], len_enc_vec[l],
+                     planebuf.data() + u64(l % slots) * n, n);
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
-        layer_ready[l] = true;
+        for (int k = 0; k < cnt; ++k) layer_ready[l + k] = true;
       }
       cv.notify_all();
     }
@@ -1121,13 +1341,19 @@ uint64_t wrn_encode_planes_batch(const uint8_t* syms, uint64_t nplanes,
                                  uint64_t n, uint8_t* out, uint64_t out_cap,
                                  uint64_t* lens, int nthreads) {
   std::vector<std::vector<wr::u8>> bufs(nplanes);
+  const uint64_t gw = (uint64_t)wr::il_width(false);
   std::atomic<uint64_t> next{0};
   auto work = [&]() {
     for (;;) {
-      uint64_t i = next.fetch_add(1);
+      uint64_t i = next.fetch_add(gw);
       if (i >= nplanes) return;
-      bufs[i].reserve(n / 2 + 4096);
-      wr::encode_plane(syms + i * n, n, bufs[i]);
+      int cnt = (int)std::min<uint64_t>(gw, nplanes - i);
+      const wr::u8* ptrs[4];
+      for (int k = 0; k < cnt; ++k) {
+        ptrs[k] = syms + (i + k) * n;
+        bufs[i + k].reserve(n / 2 + 4096);
+      }
+      wr::encode_planes_group(ptrs, cnt, n, &bufs[i]);
     }
   };
   int nt = std::max(1, nthreads);
@@ -1159,12 +1385,22 @@ void wrn_decode_planes_batch(const uint8_t* data, const uint64_t* lens,
     offs[i] = off;
     off += lens[i];
   }
+  const uint64_t gw = (uint64_t)wr::il_width(true);
   std::atomic<uint64_t> next{0};
   auto work = [&]() {
     for (;;) {
-      uint64_t i = next.fetch_add(1);
+      uint64_t i = next.fetch_add(gw);
       if (i >= nplanes) return;
-      wr::decode_plane(data + offs[i], lens[i], syms + i * n, n);
+      int cnt = (int)std::min<uint64_t>(gw, nplanes - i);
+      const wr::u8* dptrs[4];
+      wr::u8* sptrs[4];
+      uint64_t glens[4];
+      for (int k = 0; k < cnt; ++k) {
+        dptrs[k] = data + offs[i + k];
+        glens[k] = lens[i + k];
+        sptrs[k] = syms + (i + k) * n;
+      }
+      wr::decode_planes_group(dptrs, glens, cnt, sptrs, n);
     }
   };
   int nt = std::max(1, nthreads);
