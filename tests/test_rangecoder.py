@@ -72,3 +72,43 @@ def test_batch_matches_single():
         off += int(lens[i])
     dec = wn.decode_planes_batch(payload, lens, 10000, nthreads=4)
     assert np.array_equal(dec, planes)
+
+
+@pytest.mark.parametrize("width", ["1", "2", "4"])
+@pytest.mark.parametrize("nplanes", [1, 2, 3, 4, 5, 8])
+def test_interleaved_widths_bit_identical(monkeypatch, width, nplanes):
+    # Lockstep multi-stream coding must emit byte-identical streams at
+    # every interleave width and plane-group remainder (1..4 per group).
+    monkeypatch.setenv("WR_IL_STREAMS", width)
+    rng = np.random.default_rng(int(width) * 100 + nplanes)
+    n = 10007
+    planes = rng.integers(0, 256, (nplanes, n)).astype(np.uint8)
+    payload, lens = wn.encode_planes_batch(planes, nthreads=1)
+    off = 0
+    for i in range(nplanes):
+        monkeypatch.setenv("WR_IL_STREAMS", "1")
+        solo = wn.encode_plane(planes[i])
+        monkeypatch.setenv("WR_IL_STREAMS", width)
+        assert payload[off:off + int(lens[i])] == solo, (width, nplanes, i)
+        off += int(lens[i])
+    dec = wn.decode_planes_batch(payload, lens, n, nthreads=1)
+    assert np.array_equal(dec, planes)
+
+
+@pytest.mark.parametrize("n", [59999, 60000, 60001, 120000])
+def test_interleaved_block_boundaries(monkeypatch, n):
+    # The empty-trailing-block rule (n % 60000 == 0) must survive
+    # lockstep coding: every stream in a group carries the empty block.
+    monkeypatch.setenv("WR_IL_STREAMS", "4")
+    rng = np.random.default_rng(n)
+    planes = rng.integers(0, 4, (4, n)).astype(np.uint8)
+    payload, lens = wn.encode_planes_batch(planes, nthreads=1)
+    off = 0
+    for i in range(4):
+        monkeypatch.setenv("WR_IL_STREAMS", "1")
+        solo = wn.encode_plane(planes[i])
+        assert payload[off:off + int(lens[i])] == solo
+        off += int(lens[i])
+    monkeypatch.setenv("WR_IL_STREAMS", "4")
+    dec = wn.decode_planes_batch(payload, lens, n, nthreads=1)
+    assert np.array_equal(dec, planes)
