@@ -37,6 +37,7 @@ def _parse_inmeta(path: str):
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     backend = os.environ.get("WR_BACKEND", "native")
+    coder = os.environ.get("WR_CODER", "range")
     if os.path.exists("inmeta"):
         in_name, out_name, bar, bar2 = _parse_inmeta("inmeta")
     elif len(argv) == 4:
@@ -58,7 +59,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    "1e-16")
     ifiletype = int(bar or 0)
     tol = float(bar2 or 1e-16)
-    encode_flusi_file(in_name, out_name, ifiletype, tol, backend=backend)
+    encode_flusi_file(in_name, out_name, ifiletype, tol, backend=backend,
+                      coder=coder)
     print("=== End of compression ===")
     return 0
 

@@ -38,6 +38,7 @@ def _parse_inmeta(path: str):
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     backend = os.environ.get("WR_BACKEND", "native")
+    coder = os.environ.get("WR_CODER", "range")
     if os.path.exists("inmeta"):
         prefix, ext, bar, bar2, bar3, bar4, bar5 = _parse_inmeta("inmeta")
     elif len(argv) == 7:
@@ -61,7 +62,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bar5 = ask("Enter id of this proc [0]: ", "0")
     encode_mssg(prefix, ext or ".enc", int(bar or 0), int(bar2 or 2),
                 bool(int(bar3 or 1)), float(bar4 or 1e-16), int(bar5 or 0),
-                backend=backend)
+                backend=backend, coder=coder)
     print("=== End of compression ===")
     return 0
 

@@ -171,6 +171,9 @@ def _interactive():
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     backend = os.environ.get("WR_BACKEND", "native")
+    # WR_CODER=rans|turbo selects the v2 turbo entropy format
+    # (CODER_VERSION 31600); decoders dispatch from the header version.
+    coder = os.environ.get("WR_CODER", "range")
     if os.path.exists("inmeta"):
         lines = open("inmeta").read().splitlines(keepends=True)
         parsed = _parse_inmeta_new(lines)
@@ -200,7 +203,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     encode_generic_file(in_name, out_name, header_name, ifiletype,
                         bool(convertendian), specs, backend=backend,
-                        global_tol=global_tol)
+                        global_tol=global_tol, coder=coder)
     print("=== End of compression ===")
     return 0
 

@@ -27,7 +27,25 @@ from .. import native as wn
 
 NLAYMAX = 8
 WAV_LVL = 4
-CODER_VERSION = 31503
+CODER_VERSION = 31503        # reference-bit-exact range-coder format
+CODER_VERSION_TURBO = 31600  # v2 interleaved-rANS format (opt-in)
+
+_CODER_IDS = {"range": 0, "rans": 1, "turbo": 1}
+_VERSION_BY_ID = {0: CODER_VERSION, 1: CODER_VERSION_TURBO}
+_ID_BY_VERSION = {CODER_VERSION: 0, CODER_VERSION_TURBO: 1}
+
+
+def coder_id(coder) -> int:
+    """Resolve a coder name ("range" | "rans"/"turbo") or id to 0/1."""
+    if isinstance(coder, str):
+        return _CODER_IDS[coder]
+    return int(coder)
+
+
+def coder_id_for_version(version: int) -> int:
+    if version not in _ID_BY_VERSION:
+        raise ValueError(f"unsupported coder version {version}")
+    return _ID_BY_VERSION[version]
 
 
 @dataclass
@@ -47,6 +65,7 @@ class EncodedField:
     minval_vec: np.ndarray     # (8,) f64
     len_enc_vec: np.ndarray    # (8,) u64
     data: bytes = b""
+    coder_version: int = CODER_VERSION
 
     @property
     def shape_zyx(self) -> Tuple[int, int, int]:
@@ -68,7 +87,8 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                  cutoff: Optional[np.ndarray] = None,
                  mx: int = 1, my: int = 1, mz: int = 1,
                  backend: str = "native",
-                 precision: str = "f64") -> EncodedField:
+                 precision: str = "f64",
+                 coder: str = "range") -> EncodedField:
     """Encode one (nz, ny, nx) field (f64 array or castable).
 
     `tolrel` is the relative tolerance; `cutoff` optionally provides the
@@ -80,8 +100,15 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     input dtype on device. f32 is the TPU's native dtype — half the
     bandwidth/memory, tolerance-exact at f32 resolution (tol >= ~1e-6).
     The stream stays format-compatible (metadata is stored as f64).
+
+    `coder`: "range" (default, reference-bit-exact bitstream,
+    CODER_VERSION 31503) or "rans"/"turbo" (format v2, CODER_VERSION
+    31600: 8-lane interleaved rANS — same layered structure and ~equal
+    ratio at several times the entropy-stage throughput; NOT readable by
+    the reference tools).
     """
     backend = _resolve_backend(backend)
+    cid = coder_id(coder)
     nz, ny, nx = fld.shape
     if cutoff is None:
         cutoff = np.array([tolrel], dtype=np.float64)
@@ -89,12 +116,13 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     if backend == "jax":
         with timed("encode.jax"):
             meta = _encode_jax(fld, tolrel, wtflag=wtflag,
-                               keep_dtype=(precision == "native"))
+                               keep_dtype=(precision == "native"),
+                               coder=cid)
     else:
         with timed("encode.native"):
             meta = wn.encode_field(np.asarray(fld, np.float64),
                                    wtflag=wtflag, cutoff=cutoff, mx=mx,
-                                   my=my, mz=mz)
+                                   my=my, mz=mz, coder=cid)
     return EncodedField(
         nx=nx, ny=ny, nz=nz, tolabs=meta["tolabs"], midval=meta["midval"],
         halfspanval=meta["halfspanval"], wlev=meta["wlev"],
@@ -102,12 +130,14 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
         deps_vec=np.asarray(meta["deps_vec"], np.float64),
         minval_vec=np.asarray(meta["minval_vec"], np.float64),
         len_enc_vec=np.asarray(meta["len_enc_vec"], np.uint64),
-        data=meta["data"])
+        data=meta["data"], coder_version=_VERSION_BY_ID[cid])
 
 
 def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
-    """Decode to an (nz, ny, nx) f64 array."""
+    """Decode to an (nz, ny, nx) f64 array. The entropy coder is chosen
+    by the stream's coder_version (31503 range / 31600 turbo rANS)."""
     backend = _resolve_backend(backend)
+    cid = coder_id_for_version(enc.coder_version)
     meta = dict(tolabs=enc.tolabs, midval=enc.midval,
                 halfspanval=enc.halfspanval, wlev=enc.wlev, nlay=enc.nlay,
                 ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
@@ -116,9 +146,9 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
     from ..utils import timed
     if backend == "jax":
         with timed("decode.jax"):
-            return _decode_jax(meta, enc.shape_zyx)
+            return _decode_jax(meta, enc.shape_zyx, coder=cid)
     with timed("decode.native"):
-        return wn.decode_field(meta, enc.shape_zyx)
+        return wn.decode_field(meta, enc.shape_zyx, coder=cid)
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +156,7 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
-                keep_dtype: bool = False) -> dict:
+                keep_dtype: bool = False, coder: int = 0) -> dict:
     import jax.numpy as jnp
     from ..ops.quant import encode_step
 
@@ -147,7 +177,7 @@ def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                     len_enc_vec=np.zeros(NLAYMAX, np.uint64), data=b"")
     nlay_i = int(nlay)
     planes_np = np.asarray(planes[:nlay_i])  # (nlay, ntot) uint8
-    payload, lens = wn.encode_planes_batch(planes_np)
+    payload, lens = wn.encode_planes_batch(planes_np, coder=coder)
     deps_vec = np.zeros(NLAYMAX)
     minv_vec = np.zeros(NLAYMAX)
     len_vec = np.zeros(NLAYMAX, np.uint64)
@@ -161,7 +191,7 @@ def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                 minval_vec=minv_vec, len_enc_vec=len_vec, data=payload)
 
 
-def _decode_jax(meta: dict, shape) -> np.ndarray:
+def _decode_jax(meta: dict, shape, coder: int = 0) -> np.ndarray:
     import jax.numpy as jnp
     from ..ops.quant import decode_step
 
@@ -171,7 +201,8 @@ def _decode_jax(meta: dict, shape) -> np.ndarray:
         return np.full(shape, meta["midval"])
     nlay = int(meta["nlay"])
     planes = wn.decode_planes_batch(meta["data"],
-                                    meta["len_enc_vec"][:nlay], n)
+                                    meta["len_enc_vec"][:nlay], n,
+                                    coder=coder)
     out = decode_step(jnp.asarray(planes),
                       jnp.asarray(meta["deps_vec"][:nlay]),
                       jnp.asarray(meta["minval_vec"][:nlay]),

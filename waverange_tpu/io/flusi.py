@@ -58,7 +58,8 @@ def find_dataset(h5file) -> str:
 
 
 def _write_enc_attrs(dset, enc: EncodedField) -> None:
-    dset.attrs.create("coder_version", np.array([CODER_VERSION], np.int32))
+    dset.attrs.create("coder_version",
+                      np.array([enc.coder_version], np.int32))
     dset.attrs.create("tolabs", np.array([enc.tolabs], np.float64))
     dset.attrs.create("midval", np.array([enc.midval], np.float64))
     dset.attrs.create("halfspanval",
@@ -92,7 +93,9 @@ def _read_enc_attrs(dset, nx: int, ny: int, nz: int) -> EncodedField:
         midval=float(np.ravel(a["midval"])[0]),
         halfspanval=float(np.ravel(a["halfspanval"])[0]),
         wlev=int(np.ravel(a["wlev"])[0]), nlay=nlay, ntot_enc=ntot_enc,
-        deps_vec=deps, minval_vec=minv, len_enc_vec=lens)
+        deps_vec=deps, minval_vec=minv, len_enc_vec=lens,
+        coder_version=int(np.ravel(a["coder_version"])[0])
+        if "coder_version" in a else CODER_VERSION)
 
 
 def compute_local_cutoff(h5file, tol_base: float):
@@ -133,6 +136,7 @@ def compute_local_cutoff(h5file, tol_base: float):
 
 def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
                       tol_base: float, backend: str = "native",
+                      coder: str = "range",
                       uniform_cutoff: bool = True,
                       verbose: bool = True) -> None:
     h5py = _h5py()
@@ -151,6 +155,7 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
         if verbose:
             print(f" dset={dsetname} nx={nx} ny={ny} nz={nz}")
         enc = encode_field(fld.reshape(nz, ny, nx), tol_base, wtflag=1,
+                           coder=coder,
                            backend=backend)
         with h5py.File(out_name, "a") as fout:
             payload = np.frombuffer(enc.data, np.uint8)
@@ -176,7 +181,8 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
         # backend, equal-shaped datasets encode as one batched device
         # step (vmapped wavelet+quantizer, threaded host entropy stage).
         encs = {}
-        if backend == "jax" and cut is None and len(present) > 1:
+        if backend == "jax" and cut is None and len(present) > 1 \
+                and coder == "range":
             from collections import defaultdict
             groups = defaultdict(list)
             for name in present:
@@ -199,12 +205,13 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
                     enc = encs[name]
                 elif cut is None:
                     enc = encode_field(fld, tol_base, wtflag=1,
-                                       backend=backend)
+                                       backend=backend, coder=coder)
                 else:
                     mx, my, mz, cutoffvec = cut
                     enc = encode_field(fld, tol_base, wtflag=1,
                                        cutoff=cutoffvec, mx=mx, my=my,
-                                       mz=mz, backend=backend)
+                                       mz=mz, backend=backend,
+                                       coder=coder)
                 if enc.ntot_enc > 0:
                     dset = fout.create_dataset(
                         name, data=np.frombuffer(enc.data, np.uint8),

@@ -129,9 +129,10 @@ def write_field_raw(f: BinaryIO, ifiletype: int, convertendian: bool,
 # ---------------------------------------------------------------------------
 
 def write_header_preamble(fh: TextIO, out_name: str, ifiletype: int,
-                          convertendian: bool, nf: int) -> None:
+                          convertendian: bool, nf: int,
+                          coder_version: int = CODER_VERSION) -> None:
     fh.write(" ===== Header file for compressed data =====\n")
-    fh.write(f" Coder version: {CODER_VERSION}\n")
+    fh.write(f" Coder version: {coder_version}\n")
     fh.write(f" Encoded data file name: {out_name}\n")
     fh.write(" File type (0: Fortran sequential w 4-byte recl; 1: Fortran "
              f"sequential w 8-byte recl; 2: C/C++): {ifiletype}\n")
@@ -278,7 +279,8 @@ def encode_generic_file(in_name: str, out_name: str, header_name: str,
                         ifiletype: int, convertendian: bool,
                         specs: List[FieldSpec], backend: str = "native",
                         verbose: bool = True,
-                        global_tol: Optional[float] = None) -> None:
+                        global_tol: Optional[float] = None,
+                        coder: str = "range") -> None:
     """Compress a generic data file (gen_enc.cpp:527-633 semantics).
 
     Reference quirk reproduced for bit-compatibility: the encoder's
@@ -288,11 +290,13 @@ def encode_generic_file(in_name: str, out_name: str, header_name: str,
     the header's tol_base line shows the per-field value. `global_tol`
     carries that effective tolerance (defaults to the last spec's).
     """
+    from ..core.codec import _CODER_IDS, _VERSION_BY_ID
     nf = len(specs)
     if global_tol is None:
         global_tol = specs[-1].tol_base if specs else 1e-16
     with open(header_name, "w") as fh:
-        write_header_preamble(fh, out_name, ifiletype, convertendian, nf)
+        write_header_preamble(fh, out_name, ifiletype, convertendian, nf,
+                              _VERSION_BY_ID[_CODER_IDS[coder]])
     open(out_name, "wb").close()  # truncate
 
     prev_ntot_enc = 0
@@ -307,7 +311,7 @@ def encode_generic_file(in_name: str, out_name: str, header_name: str,
                               icomp=spec.icomp, tol_base=spec.tol_base)
             if spec.icomp:
                 rec.enc = encode_field(fld, global_tol, wtflag=1,
-                                       backend=backend)
+                                       backend=backend, coder=coder)
                 with open(header_name, "a") as fh:
                     prev_ntot_enc = append_field_header(fh, rec,
                                                         prev_ntot_enc)
@@ -330,7 +334,15 @@ def decode_generic_file(in_name: str, header_name: str, out_name: str,
                         verbose: bool = True) -> None:
     """Reconstruct a generic data file (gen_dec.cpp:145-256 semantics)."""
     with open(header_name, "r") as fh:
-        for _ in range(5):
+        fh.readline()
+        # line 2 carries the coder version; 31503 = reference range
+        # coder, 31600 = turbo rANS (format v2)
+        version_line = fh.readline()
+        try:
+            coder_version = int(version_line.split(":")[-1])
+        except ValueError:
+            coder_version = CODER_VERSION
+        for _ in range(3):
             fh.readline()
         nf_line = fh.readline()
         nf = int(nf_line[34:])
@@ -344,6 +356,7 @@ def decode_generic_file(in_name: str, header_name: str, out_name: str,
                           f"nz={rec.nz} nh={rec.nh}")
                 if rec.icomp:
                     e = rec.enc
+                    e.coder_version = coder_version
                     if e.ntot_enc > 0:
                         e.data = fin.read(e.ntot_enc)
                         fld = decode_field(e, backend=backend)

@@ -236,9 +236,10 @@ def read_mssg_header(tr: _TokenReader, idset: int, nx: int, ny: int,
 
 def _write_preamble(fh: TextIO, banner: str, prefix: str, ext: str,
                     ifiletype: int, nbytes: int, convertendian: bool,
-                    tol_base: float, endian_no_text: str) -> None:
+                    tol_base: float, endian_no_text: str,
+                    coder_version: int = CODER_VERSION) -> None:
     fh.write(f" ===== Header file for compressed MSSG {banner} =====\n")
-    fh.write(f" Coder version: {CODER_VERSION}\n")
+    fh.write(f" Coder version: {coder_version}\n")
     fh.write(f" File name prefix: {prefix}\n")
     fh.write(f" Encoded file extension name: {ext}\n")
     fh.write(" File type (0: regular output; 1: backup merged; 2: backup "
@@ -258,7 +259,10 @@ def _write_preamble(fh: TextIO, banner: str, prefix: str, ext: str,
 
 def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
                 convertendian: bool, tol_base: float, thisproc: int,
-                backend: str = "native", verbose: bool = True) -> None:
+                backend: str = "native", verbose: bool = True,
+                coder: str = "range") -> None:
+    from ..core.codec import _CODER_IDS, _VERSION_BY_ID
+    coder_version = _VERSION_BY_ID[_CODER_IDS[coder]]
     nbytes = 4 if iintype == 1 else 8
     if ifiletype == 0:
         nx, ny, nz, nt, undef, dsetname = read_control_file_grads(
@@ -268,7 +272,7 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
         with open(header_name, "w") as fh:
             _write_preamble(fh, "regular output data", prefix, ext,
                             ifiletype, nbytes, convertendian, tol_base,
-                            " No endian conversion")
+                            " No endian conversion", coder_version)
         open(out_name, "wb").close()
         undef_thresh = undef + abs(undef) * MSSG_MASK_THRESHOLD_ACC
         for it in range(nt):
@@ -285,13 +289,15 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
                 mask, _pad = wn.mask_separate(fld, undef_thresh, minval)
                 e_mask = encode_field(
                     mask, MSSG_MASK_TOLREL, wtflag=0,
-                    cutoff=np.array([MSSG_MASK_TOLREL]), backend=backend)
+                    cutoff=np.array([MSSG_MASK_TOLREL]), backend=backend,
+                    coder=coder)
                 with open(header_name, "a") as fh:
                     append_mssg_header(fh, it, "mask", e_mask)
                 if e_mask.ntot_enc > 0:
                     with open(out_name, "ab") as fo:
                         fo.write(e_mask.data)
-            e = encode_field(fld, tol_base, wtflag=1, backend=backend)
+            e = encode_field(fld, tol_base, wtflag=1, backend=backend,
+                             coder=coder)
             with open(header_name, "a") as fh:
                 append_mssg_header(fh, it, dsetname, e)
             if e.ntot_enc > 0:
@@ -318,7 +324,8 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
         with open(header_name, "w") as fh:
             _write_preamble(fh, "restart data", prefix, ext, ifiletype,
                             nbytes, convertendian, tol_base,
-                            " Did not perform endian conversion")
+                            " Did not perform endian conversion",
+                            coder_version)
             fh.write(" -----\n1\n")
             fh.write(f" Data set name = {dsettab[0]}\n")
             fh.write(f" first {MSSG_TIME_REC_LEN} elements of time "
@@ -343,7 +350,8 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
                                       idset, nxloc, nyloc, nz)
             if verbose:
                 print(f" dset={dsettab[idset]}")
-            e = encode_field(fld, tol_base, wtflag=1, backend=backend)
+            e = encode_field(fld, tol_base, wtflag=1, backend=backend,
+                             coder=coder)
             with open(header_name, "a") as fh:
                 append_mssg_header(fh, idset, dsettab[idset], e)
             if e.ntot_enc > 0:
@@ -352,6 +360,17 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
         return
 
     raise ValueError("unknown file type")
+
+
+def _read_coder_version(header_name: str) -> int:
+    """Coder version from preamble line 2 (31503 range / 31600 turbo)."""
+    with open(header_name) as fh:
+        fh.readline()
+        line = fh.readline()
+    try:
+        return int(line.split(":")[-1])
+    except ValueError:
+        return CODER_VERSION
 
 
 def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
@@ -367,6 +386,7 @@ def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
         out_name = out_prefix + ".grd"
         header_name = in_prefix + "_h" + ext
         in_name = in_prefix + "_f" + ext
+        coder_version = _read_coder_version(header_name)
         with open(header_name) as fh, open(in_name, "rb") as fin:
             for _ in range(8):
                 fh.readline()
@@ -378,6 +398,7 @@ def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
                 if name == "mask":
                     if e.ntot_enc > 0:
                         e.data = fin.read(e.ntot_enc)
+                        e.coder_version = coder_version
                         m = decode_field(e, backend=backend)
                         mask_midval = e.midval
                         mask_rec = np.where(m < e.midval, undef, 0.0)
@@ -386,6 +407,7 @@ def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
                         mask_rec = np.full((nz, ny, nx), e.midval)
                 if e.ntot_enc > 0:
                     e.data = fin.read(e.ntot_enc)
+                    e.coder_version = coder_version
                     fld = decode_field(e, backend=backend)
                 else:
                     fld = np.full((nz, ny, nx), e.midval)
@@ -411,6 +433,7 @@ def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
             header_name = in_prefix + "_h" + lbl + ext
             in_name = in_prefix + "_f" + lbl + ext
         shape = (nz, ny, nx) if ifiletype == 1 else (nz, nyloc, nxloc)
+        coder_version = _read_coder_version(header_name)
         with open(header_name) as fh, open(in_name, "rb") as fin:
             tr = _TokenReader(fh)
             for idset in range(ndset):
@@ -438,6 +461,7 @@ def decode_mssg(in_prefix: str, ext: str, out_prefix: str, ifiletype: int,
                         tr, idset, shape[2], shape[1], shape[0])
                     if e.ntot_enc > 0:
                         e.data = fin.read(e.ntot_enc)
+                        e.coder_version = coder_version
                         fld = decode_field(e, backend=backend)
                     else:
                         fld = np.full(shape, e.midval)

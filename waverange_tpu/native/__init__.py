@@ -43,15 +43,15 @@ def get_lib() -> ct.CDLL:
         i32p = ct.POINTER(ct.c_int)
 
         lib.wrn_encode_plane.restype = u64
-        lib.wrn_encode_plane.argtypes = [u8p, u64, u8p, u64]
+        lib.wrn_encode_plane.argtypes = [u8p, u64, u8p, u64, ct.c_int]
         lib.wrn_decode_plane.restype = u64
-        lib.wrn_decode_plane.argtypes = [u8p, u64, u8p, u64]
+        lib.wrn_decode_plane.argtypes = [u8p, u64, u8p, u64, ct.c_int]
         lib.wrn_encode_planes_batch.restype = u64
         lib.wrn_encode_planes_batch.argtypes = [
-            u8p, u64, u64, u8p, u64, u64p, ct.c_int]
+            u8p, u64, u64, u8p, u64, u64p, ct.c_int, ct.c_int]
         lib.wrn_decode_planes_batch.restype = None
         lib.wrn_decode_planes_batch.argtypes = [
-            u8p, u64p, u64, u8p, u64, ct.c_int]
+            u8p, u64p, u64, u8p, u64, ct.c_int, ct.c_int]
         lib.wrn_wavelet3d.restype = None
         lib.wrn_wavelet3d.argtypes = [f64p, u64, u64, u64, ct.c_int]
         lib.wrn_index_p2w.restype = None
@@ -59,11 +59,12 @@ def get_lib() -> ct.CDLL:
         lib.wrn_encode_field.restype = u64
         lib.wrn_encode_field.argtypes = [
             f64p, u64, u64, u64, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
-            f64p, f64p, f64p, f64p, u8p, u8p, f64p, f64p, u64p, u8p]
+            f64p, f64p, f64p, f64p, u8p, u8p, f64p, f64p, u64p, u8p,
+            ct.c_int]
         lib.wrn_decode_field.restype = None
         lib.wrn_decode_field.argtypes = [
             f64p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
-            f64p, f64p, u64p, u8p]
+            f64p, f64p, u64p, u8p, ct.c_int]
         lib.wrn_mask_separate.restype = ct.c_double
         lib.wrn_mask_separate.argtypes = [f64p, f64p, u64, ct.c_double,
                                           ct.c_double]
@@ -83,32 +84,35 @@ def _u64p(a: np.ndarray):
     return a.ctypes.data_as(ct.POINTER(ct.c_uint64))
 
 
-def encode_plane(syms: np.ndarray) -> bytes:
-    """Range-encode one uint8 symbol plane into its layer bitstream."""
+def encode_plane(syms: np.ndarray, coder: int = 0) -> bytes:
+    """Entropy-encode one uint8 symbol plane into its layer bitstream.
+
+    coder 0 = reference-bit-exact range coder; 1 = turbo rANS (format
+    v2, CODER_VERSION_TURBO)."""
     lib = get_lib()
     syms = np.ascontiguousarray(syms, dtype=np.uint8).ravel()
     n = syms.size
     cap = max(2 * n + 8192, 16384)
     out = np.empty(cap, dtype=np.uint8)
-    ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), cap)
+    ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), cap, coder)
     if ln > cap:  # extremely incompressible data; retry with exact size
         out = np.empty(ln, dtype=np.uint8)
-        ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), ln)
+        ln = lib.wrn_encode_plane(_u8p(syms), n, _u8p(out), ln, coder)
     return out[:ln].tobytes()
 
 
-def decode_plane(data: bytes, n: int) -> np.ndarray:
+def decode_plane(data: bytes, n: int, coder: int = 0) -> np.ndarray:
     lib = get_lib()
     buf = np.frombuffer(data, dtype=np.uint8)
     syms = np.empty(n, dtype=np.uint8)
-    got = lib.wrn_decode_plane(_u8p(buf), buf.size, _u8p(syms), n)
+    got = lib.wrn_decode_plane(_u8p(buf), buf.size, _u8p(syms), n, coder)
     if got != n:
         raise ValueError(f"decode_plane: expected {n} symbols, got {got}")
     return syms
 
 
-def encode_planes_batch(planes: np.ndarray, nthreads: int | None = None
-                        ) -> Tuple[bytes, np.ndarray]:
+def encode_planes_batch(planes: np.ndarray, nthreads: int | None = None,
+                        coder: int = 0) -> Tuple[bytes, np.ndarray]:
     """Encode (nplanes, n) uint8 planes in parallel.
 
     Returns (payload bytes with planes back to back, per-plane lengths).
@@ -121,16 +125,18 @@ def encode_planes_batch(planes: np.ndarray, nthreads: int | None = None
     lens = np.zeros(nplanes, dtype=np.uint64)
     nt = nthreads or _default_threads()
     total = lib.wrn_encode_planes_batch(
-        _u8p(planes), nplanes, n, _u8p(out), cap, _u64p(lens), nt)
+        _u8p(planes), nplanes, n, _u8p(out), cap, _u64p(lens), nt, coder)
     if total > cap:
         out = np.empty(total, dtype=np.uint8)
         total = lib.wrn_encode_planes_batch(
-            _u8p(planes), nplanes, n, _u8p(out), total, _u64p(lens), nt)
+            _u8p(planes), nplanes, n, _u8p(out), total, _u64p(lens), nt,
+            coder)
     return out[:total].tobytes(), lens
 
 
 def decode_planes_batch(payload: bytes | np.ndarray, lens: np.ndarray, n: int,
-                        nthreads: int | None = None) -> np.ndarray:
+                        nthreads: int | None = None,
+                        coder: int = 0) -> np.ndarray:
     lib = get_lib()
     buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(
         payload, (bytes, bytearray)) else np.ascontiguousarray(payload, np.uint8)
@@ -143,7 +149,7 @@ def decode_planes_batch(payload: bytes | np.ndarray, lens: np.ndarray, n: int,
     syms = np.empty((nplanes, n), dtype=np.uint8)
     lib.wrn_decode_planes_batch(
         _u8p(buf), _u64p(lens), nplanes, _u8p(syms), n,
-        nthreads or _default_threads())
+        nthreads or _default_threads(), coder)
     return syms
 
 
@@ -171,7 +177,8 @@ def index_p2w(levels: int, n1: int, n2: int, n3: int,
 
 
 def encode_field(fld: np.ndarray, wtflag: int = 1,
-                 cutoff=None, mx: int = 1, my: int = 1, mz: int = 1) -> dict:
+                 cutoff=None, mx: int = 1, my: int = 1, mz: int = 1,
+                 coder: int = 0) -> dict:
     """Encode one (nz, ny, nx) f64 field. ``fld`` is copied (not clobbered).
 
     Returns a dict with the codec metadata + payload, mirroring the
@@ -199,7 +206,7 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
         _f64p(fld), nx, ny, nz, wtflag, mx, my, mz, _f64p(cutoffvec),
         ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
         ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),
-        _u64p(len_enc_vec), _u8p(data_enc))
+        _u64p(len_enc_vec), _u8p(data_enc), coder)
     return dict(
         tolabs=tolabs.value, midval=midval.value,
         halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
@@ -221,7 +228,8 @@ def mask_separate(fld: np.ndarray, thresh: float, minval: float
     return mask, pad
 
 
-def decode_field(meta: dict, shape: Tuple[int, int, int]) -> np.ndarray:
+def decode_field(meta: dict, shape: Tuple[int, int, int],
+                 coder: int = 0) -> np.ndarray:
     """Decode to an (nz, ny, nx) f64 field from encode_field-style metadata."""
     lib = get_lib()
     nz, ny, nx = shape
@@ -239,5 +247,5 @@ def decode_field(meta: dict, shape: Tuple[int, int, int]) -> np.ndarray:
     lib.wrn_decode_field(
         _f64p(fld), nx, ny, nz, meta["midval"], meta["wlev"], meta["nlay"],
         meta["ntot_enc"], _f64p(deps_vec), _f64p(minval_vec),
-        _u64p(len_enc_vec), _u8p(data))
+        _u64p(len_enc_vec), _u8p(data), coder)
     return fld
