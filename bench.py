@@ -50,7 +50,7 @@ def make_field(n):
     return fld
 
 
-def bench_native(fld, tol, reps=3):
+def bench_native(fld, tol, reps=3, coder=0):
     """Best-of-N: this VM suffers multi-second CPU-steal bursts, so the
     minimum is the closest estimate of true capability."""
     from waverange_tpu import native as wn
@@ -58,10 +58,11 @@ def bench_native(fld, tol, reps=3):
     enc_t = dec_t = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        meta = wn.encode_field(fld, wtflag=1, cutoff=np.array([tol]))
+        meta = wn.encode_field(fld, wtflag=1, cutoff=np.array([tol]),
+                               coder=coder)
         enc_t = min(enc_t, time.time() - t0)
         t0 = time.time()
-        rec = wn.decode_field(meta, fld.shape)
+        rec = wn.decode_field(meta, fld.shape, coder=coder)
         dec_t = min(dec_t, time.time() - t0)
     err = float(np.abs(rec - fld).max())
     return dict(encode_s=enc_t, decode_s=dec_t, nbytes_in=fld.nbytes,
@@ -218,6 +219,15 @@ def main():
     log(f"native best: encode {rn['encode_s']:.2f}s "
         f"({gib/rn['encode_s']:.3f} GB/s), decode {rn['decode_s']:.2f}s, "
         f"ratio {rn['nbytes_out']/rn['nbytes_in']:.3f}, err {rn['err']:.2e}")
+    # turbo (format v2, opt-in) pipeline: same layers, rANS entropy stage
+    if os.environ.get("WR_BENCH_SKIP_TURBO") != "1":
+        log("turbo (rans) pipeline...")
+        rturbo = bench_native(fld, tol, reps=2, coder=1)
+        log(f"turbo best: encode {rturbo['encode_s']:.2f}s "
+            f"({gib/rturbo['encode_s']:.3f} GB/s), decode "
+            f"{rturbo['decode_s']:.2f}s ({gib/rturbo['decode_s']:.3f} GB/s),"
+            f" ratio {rturbo['nbytes_out']/rturbo['nbytes_in']:.3f}, "
+            f"err {rturbo['err']:.2e}")
     if ref:
         log(f"reference best: encode {ref['encode_s']:.2f}s "
             f"({gib/ref['encode_s']:.3f} GB/s), ratio "

@@ -1206,26 +1206,68 @@ static int quant_threads() {
   return extra < 1 ? 1 : extra;
 }
 
-static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
-                                  int ilay) {
-  const int qt = quant_threads();
+// Fused quantize pass: one sweep computes the symbols, updates the
+// residual in place, AND tracks the residual's min/max (= next layer's
+// model bounds). Cuts the quantize stage from 3 memory passes per layer
+// (scan, quantize, residual) to 1 (+ one initial scan of the wavelet
+// field). The residual VALUES are identical to the unfused reference
+// sequence, and chunk-local compare-select min/max equals sequential
+// fmin/fmax on NaN-free data, so layer schedules stay bit-exact.
+static void quantize_residual_fused(double* fld, u8* syms, u64 j0, u64 j1,
+                                    double a, double b, double deps,
+                                    double mn, double* out_mn,
+                                    double* out_mx) {
+  double rmn = 0, rmx = 0;
+  bool first = true;
+  for (u64 j = j0; j < j1; ++j) {
+    double fq = a * fld[j] + b;
+    u8 s = u8(fq);  // truncation == floor for non-negative fq
+    syms[j] = s;
+    double r = fld[j] - (s * deps + mn);
+    fld[j] = r;
+    if (first) {
+      rmn = rmx = r;
+      first = false;
+    }
+    rmn = r < rmn ? r : rmn;
+    rmx = r > rmx ? r : rmx;
+  }
+  *out_mn = rmn;
+  *out_mx = rmx;
+}
+
+// Chunk-parallel min/max of fld[0..n) (compare-select; equals the
+// reference's sequential fmin/fmax for NaN-free data).
+static void minmax_parallel(const double* fld, u64 n, int qt, double* mn_out,
+                            double* mx_out) {
   const u64 chunk = 1u << 21;
   const u64 nchunks = (n + chunk - 1) / chunk;
-  double mn, mx;
   if (qt == 1 || nchunks < 2) {
-    minmax_scan(fld, n, &mn, &mx);
-  } else {
-    std::vector<double> mns(nchunks), mxs(nchunks);
-    parallel_for(nchunks, [&](u64 ci) {
-      u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
-      minmax_scan(fld + j0, j1 - j0, &mns[ci], &mxs[ci]);
-    }, qt);
-    mn = mns[0]; mx = mxs[0];
-    for (u64 ci = 1; ci < nchunks; ++ci) {
-      mn = mns[ci] < mn ? mns[ci] : mn;
-      mx = mxs[ci] > mx ? mxs[ci] : mx;
-    }
+    minmax_scan(fld, n, mn_out, mx_out);
+    return;
   }
+  std::vector<double> mns(nchunks), mxs(nchunks);
+  parallel_for(nchunks, [&](u64 ci) {
+    u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
+    minmax_scan(fld + j0, j1 - j0, &mns[ci], &mxs[ci]);
+  }, qt);
+  double mn = mns[0], mx = mxs[0];
+  for (u64 ci = 1; ci < nchunks; ++ci) {
+    mn = mns[ci] < mn ? mns[ci] : mn;
+    mx = mxs[ci] > mx ? mxs[ci] : mx;
+  }
+  *mn_out = mn;
+  *mx_out = mx;
+}
+
+// Layer schedule step: given the current field bounds, derive the model
+// (deps/min) and whether this is the final layer, then run the fused
+// quantize+residual+next-bounds pass.
+static LayerResult quantize_layer_fused(double* fld, u8* syms, u64 n,
+                                        double tolabs, int ilay, double mn,
+                                        double mx, double* next_mn,
+                                        double* next_mx) {
+  const int qt = quant_threads();
   double deps = (mx - mn) / 255.0;
   bool last = false;
   if (deps < tolabs) {
@@ -1235,21 +1277,25 @@ static LayerResult quantize_layer(double* fld, u8* syms, u64 n, double tolabs,
   if (ilay >= kLayersMax - 1) last = true;
   const double a = 1.0 / deps;
   const double b = -mn * a + 0.5;
-  auto qr = [&](u64 j0, u64 j1) {
-    for (u64 j = j0; j < j1; ++j) {
-      double fq = a * fld[j] + b;
-      syms[j] = u8(fq);  // truncation == floor for non-negative fq
-    }
-    for (u64 j = j0; j < j1; ++j)
-      fld[j] = fld[j] - (syms[j] * deps + mn);
-  };
+  const u64 chunk = 1u << 21;
+  const u64 nchunks = (n + chunk - 1) / chunk;
   if (qt == 1 || nchunks < 2) {
-    qr(0, n);
+    quantize_residual_fused(fld, syms, 0, n, a, b, deps, mn, next_mn,
+                            next_mx);
   } else {
+    std::vector<double> mns(nchunks), mxs(nchunks);
     parallel_for(nchunks, [&](u64 ci) {
       u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
-      qr(j0, j1);
+      quantize_residual_fused(fld, syms, j0, j1, a, b, deps, mn, &mns[ci],
+                              &mxs[ci]);
     }, qt);
+    double rmn = mns[0], rmx = mxs[0];
+    for (u64 ci = 1; ci < nchunks; ++ci) {
+      rmn = mns[ci] < rmn ? mns[ci] : rmn;
+      rmx = mxs[ci] > rmx ? mxs[ci] : rmx;
+    }
+    *next_mn = rmn;
+    *next_mx = rmx;
   }
   return {deps, mn, last};
 }
@@ -1396,6 +1442,11 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   std::vector<std::thread> ths;
   for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
 
+  // Layer-0 model bounds from one scan of the wavelet field; each fused
+  // quantize pass then yields the next layer's bounds for free.
+  double lmn = 0, lmx = 0;
+  if (mtot <= 1) minmax_parallel(fld, n, quant_threads(), &lmn, &lmx);
+
   int ilay = 0;
   for (;;) {
     if (ilay >= slots) {
@@ -1409,7 +1460,8 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
             ? quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
                                     tolrel, out->wlev, mx, my, mz, cutoffvec,
                                     ilay)
-            : quantize_layer(fld, syms, n, out->tolabs, ilay);
+            : quantize_layer_fused(fld, syms, n, out->tolabs, ilay, lmn,
+                                   lmx, &lmn, &lmx);
     out->deps_vec[ilay] = lr.deps;
     out->minval_vec[ilay] = lr.minval;
     ++ilay;
