@@ -84,3 +84,23 @@ def test_fused_xy_kernel_directly(monkeypatch):
     got = WP.lift_xy_pallas(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_inverse_fused_roundtrip(monkeypatch):
+    # forward (XLA) then fused-pallas inverse must reconstruct
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(WP.pl, "pallas_call", interp)
+    from waverange_tpu.ops.wavelet import cdf97_inverse
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 16, 256)), jnp.float32)
+    w = cdf97_forward(x, 2)
+    ri = np.asarray(cdf97_inverse(w, 2))
+    rp = np.asarray(WP.cdf97_inverse_pallas(w, 2))
+    np.testing.assert_allclose(rp, ri, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(rp, np.asarray(x), rtol=1e-4, atol=1e-4)

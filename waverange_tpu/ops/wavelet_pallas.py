@@ -145,6 +145,107 @@ def lift_xy_pallas(x: jax.Array) -> jax.Array:
     )(x, Px, Pyt)
 
 
+def _inv_halves(lo, hi, axis):
+    """Four inverse lifting stages on scaled halves (mirror of
+    `_lift_halves`; contract: wavelet.py _lift_inv_axis)."""
+    m = lo.shape[axis]
+
+    def down(a):
+        if axis == 1:
+            return jnp.concatenate([a[:, 1:], a[:, m - 1:]], axis=1)
+        return jnp.concatenate([a[1:], a[m - 1:]], axis=0)
+
+    def up(a):
+        if axis == 1:
+            return jnp.concatenate([a[:, :1], a[:, :m - 1]], axis=1)
+        return jnp.concatenate([a[:1], a[:m - 1]], axis=0)
+
+    lo = lo - L3 * (hi + up(hi))
+    hi = hi - L2 * (down(lo) + lo)
+    lo = lo - L1 * (hi + up(hi))
+    hi = hi - L0 * (down(lo) + lo)
+    return lo, hi
+
+
+def _inv_lanes(v, Pzip):
+    """Inverse-lift every row along the lane axis; the re-interleave is
+    the transposed unzip permutation on the MXU."""
+    n = v.shape[1]
+    q = n // 2
+    lo, hi = _inv_halves(v[:, :q] * SCALE_INV, v[:, q:] * SCALE, axis=1)
+    w = jnp.concatenate([lo, hi], axis=1)
+    return jnp.dot(w, Pzip, preferred_element_type=v.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _inv_sublanes(v, Pzip):
+    """Inverse-lift every column along the sublane axis."""
+    n = v.shape[0]
+    q = n // 2
+    lo, hi = _inv_halves(v[:q] * SCALE_INV, v[q:] * SCALE, axis=0)
+    w = jnp.concatenate([lo, hi], axis=0)
+    return jnp.dot(Pzip, w, preferred_element_type=v.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _inv_yx_kernel(x_ref, pzy_ref, pzx_ref, o_ref):
+    """Fused inverse y+x sweep on one (1, ny, nx) z-slab (the inverse
+    axis order is z, y, x — z runs in XLA before this kernel)."""
+    v = x_ref[0]
+    v = _inv_sublanes(v, pzy_ref[:])
+    o_ref[0] = _inv_lanes(v, pzx_ref[:])
+
+
+def inv_lift_yx_pallas(x: jax.Array) -> jax.Array:
+    """Fused inverse y+x sweep of an (nz, ny, nx) array (even ny, nx)."""
+    nz, ny, nx = x.shape
+    # zip = unzip^-1 = unzip^T; rows zip applies the untransposed matrix
+    # from the left (rows unzip used P^T from the left).
+    Pzy = jnp.asarray(_unzip_matrix(ny))
+    Pzx = jnp.asarray(np.ascontiguousarray(_unzip_matrix(nx).T))
+    return pl.pallas_call(
+        _inv_yx_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(nz,),
+        in_specs=[pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((ny, ny), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nx, nx), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, Pzy, Pzx)
+
+
+def cdf97_inverse_pallas(x: jax.Array, levels: int) -> jax.Array:
+    """Inverse transform with the fused Pallas y+x sweep per level
+    (coarsest first; z sweep in XLA, then the fused kernel)."""
+    from .wavelet import _lift_inv_axis, _set_subbox
+
+    nz, ny, nx = x.shape
+
+    def cdiv_pow(n, k):
+        p = 1 << k
+        return n // p + (1 if n % p else 0)
+
+    for k in range(levels, 0, -1):
+        az, ay, ax_ = (cdiv_pow(nz, k - 1), cdiv_pow(ny, k - 1),
+                       cdiv_pow(nx, k - 1))
+        sub = x[:az, :ay, :ax_]
+        if az > 1:
+            sub = _lift_inv_axis(sub, 0)
+        if ay % 2 == 0 and ay > 1 and ax_ % 2 == 0 and ax_ > 1:
+            sub = inv_lift_yx_pallas(sub)
+        else:
+            if ay > 1:
+                sub = _lift_inv_axis(sub, 1)
+            if ax_ > 1:
+                sub = _lift_inv_axis(sub, 2)
+        x = _set_subbox(x, sub, (az, ay, ax_))
+    return x
+
+
 def cdf97_forward_pallas(x: jax.Array, levels: int) -> jax.Array:
     """Forward transform with fused Pallas sweeps (f32 throughput path).
 
