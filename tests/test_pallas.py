@@ -104,3 +104,29 @@ def test_inverse_fused_roundtrip(monkeypatch):
     rp = np.asarray(WP.cdf97_inverse_pallas(w, 2))
     np.testing.assert_allclose(rp, ri, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(rp, np.asarray(x), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_quantizer_matches_scan(monkeypatch):
+    # fused pallas quantizer must reproduce the scan quantizer exactly
+    # (bounds are exact in any reduction order; same quantize exprs)
+    import jax.experimental.pallas as pl
+    from waverange_tpu.ops import quant_pallas as QP
+    from waverange_tpu.ops.quant import quantize_layers
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(QP.pl, "pallas_call", interp)
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.standard_normal(4096 * 8) * 5, jnp.float32)
+    tol = jnp.asarray(2e-4, jnp.float32)
+    qa = jnp.asarray(255.0, jnp.float32)
+    ps, ds, ms_, nls = quantize_layers(w, tol, qa)
+    pp, dp, mp, nlp = QP.quantize_layers_pallas(w, tol, qa)
+    assert int(nls) == int(nlp)
+    nl = int(nls)
+    assert np.array_equal(np.asarray(ds), np.asarray(dp))
+    assert np.array_equal(np.asarray(ms_), np.asarray(mp))
+    assert np.array_equal(np.asarray(ps[:nl]), np.asarray(pp[:nl]))

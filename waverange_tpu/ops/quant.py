@@ -128,7 +128,16 @@ def _encode_step_impl(fld: jax.Array, tolrel: jax.Array, wav_acc: jax.Array,
 
     w = _forward_wavelet(fld, levels if wtflag else 0)
     tolabs = tolrel * jnp.maximum(jnp.abs(mn), jnp.abs(mx)) / wav_acc
-    planes, deps, minv, nlay = quantize_layers(w.ravel(), tolabs, qalpha)
+    wf = w.ravel()
+    planes = None
+    if dtype == jnp.float32 and jax.default_backend() != "cpu":
+        from .quant_pallas import (quantize_layers_applicable,
+                                   quantize_layers_pallas)
+        if quantize_layers_applicable(wf.size, dtype):
+            planes, deps, minv, nlay = quantize_layers_pallas(
+                wf, tolabs, qalpha)
+    if planes is None:
+        planes, deps, minv, nlay = quantize_layers(wf, tolabs, qalpha)
     return planes, deps, minv, nlay, tolabs, midval, halfspanval, trivial
 
 
