@@ -130,3 +130,28 @@ def test_fused_quantizer_matches_scan(monkeypatch):
     assert np.array_equal(np.asarray(ds), np.asarray(dp))
     assert np.array_equal(np.asarray(ms_), np.asarray(mp))
     assert np.array_equal(np.asarray(ps[:nl]), np.asarray(pp[:nl]))
+
+
+def test_fused_accumulate_matches_xla(monkeypatch):
+    import jax.experimental.pallas as pl
+    from waverange_tpu.ops import quant_pallas as QP
+    from waverange_tpu.ops.quant import accumulate_layers
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(QP.pl, "pallas_call", interp)
+    rng = np.random.default_rng(7)
+    nlay, n = 5, 4096 * 4
+    planes = jnp.asarray(rng.integers(0, 256, (nlay, n)), jnp.uint8)
+    deps = jnp.asarray(rng.random(nlay), jnp.float32)
+    minv = jnp.asarray(rng.standard_normal(nlay), jnp.float32)
+    want = accumulate_layers(planes, deps, minv, dtype=jnp.float32)
+    got = QP.accumulate_layers_pallas(planes, deps, minv)
+    # few-ulp FMA envelope (interpret mode jits the kernel, the
+    # reference ops run eagerly); on hardware both jit identically and
+    # were measured exactly equal
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

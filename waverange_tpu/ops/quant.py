@@ -164,5 +164,12 @@ def encode_step(fld: jax.Array, tolrel: jax.Array, wtflag: bool = True,
 def decode_step(planes: jax.Array, deps: jax.Array, minv: jax.Array,
                 shape, levels: int = 4):
     """Full device-side decode: accumulate layers + inverse wavelet."""
-    acc = accumulate_layers(planes, deps, minv, dtype=deps.dtype)
+    acc = None
+    if deps.dtype == jnp.float32 and jax.default_backend() != "cpu":
+        from .quant_pallas import (accumulate_layers_pallas,
+                                   quantize_layers_applicable)
+        if quantize_layers_applicable(planes.shape[1], deps.dtype):
+            acc = accumulate_layers_pallas(planes, deps, minv)
+    if acc is None:
+        acc = accumulate_layers(planes, deps, minv, dtype=deps.dtype)
     return _inverse_wavelet(acc.reshape(shape), levels)

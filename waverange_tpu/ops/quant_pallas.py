@@ -95,6 +95,49 @@ def quantize_layers_applicable(n: int, dtype) -> bool:
     return dtype == jnp.float32 and n > 0 and n % _LANES == 0
 
 
+def _accum_kernel(planes_ref, dm_ref, o_ref):
+    """Sum the dequantized layers of one tile in layer order (the exact
+    sequential accumulation of the reference, wrappers.cpp:512-514):
+    one read of each plane + one output write, instead of a
+    read-modify-write pass per layer."""
+    nlay = planes_ref.shape[0]
+    acc = (planes_ref[0].astype(jnp.int32).astype(o_ref.dtype)
+           * dm_ref[0, 0] + dm_ref[0, 1])
+    for i in range(1, nlay):
+        acc = acc + (planes_ref[i].astype(jnp.int32).astype(o_ref.dtype)
+                     * dm_ref[i, 0] + dm_ref[i, 1])
+    o_ref[:] = acc
+
+
+def accumulate_layers_pallas(planes: jax.Array, deps: jax.Array,
+                             minv: jax.Array) -> jax.Array:
+    """Fused accumulate of (nlay, n) uint8 planes -> (n,) f32."""
+    nlay, n = planes.shape
+    dtype = deps.dtype
+    rows = n // _LANES
+    # all nlay planes are tile-resident at once; keep tiles small enough
+    # for the 16 MB scoped-VMEM budget incl. i32 cast temporaries
+    tr = min(128, _tile_rows(rows))
+    while rows % tr:
+        tr -= 1
+    grid = rows // tr
+    p3 = planes.reshape(nlay, rows, _LANES)
+    dm = jnp.stack([deps.astype(dtype), minv.astype(dtype)], axis=1)
+    dm = jnp.pad(dm, ((0, 0), (0, 128 - 2)))
+    out = pl.pallas_call(
+        _accum_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), dtype),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((nlay, tr, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nlay, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(p3, dm)
+    return out.reshape(n)
+
+
 def quantize_layers_pallas(w: jax.Array, tolabs: jax.Array,
                            qalpha: jax.Array):
     """Drop-in fused replacement for quant.quantize_layers (f32 only;
