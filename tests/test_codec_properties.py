@@ -24,3 +24,37 @@ def test_monotone_size_vs_tolerance():
     sizes = [codec.encode_field(a, t, backend="native").ntot_enc
              for t in (1e-2, 1e-5, 1e-8, 1e-11, 1e-14)]
     assert sizes == sorted(sizes), sizes
+
+
+def test_f32_native_pipeline():
+    # opt-in f32 host pipeline: tolerance-exact at f32 resolution, stream
+    # decodable by the f64 decoder (format-identical, f64 metadata)
+    from waverange_tpu import native as wn
+    from waverange_tpu.core import codec
+    rng = np.random.default_rng(9)
+    a = (np.cumsum(rng.standard_normal((32, 40, 48)), axis=2) / 4
+         ).astype(np.float32)
+    tol = 1e-5
+    enc = codec.encode_field(a, tol, precision="native")
+    rec64 = codec.decode_field(enc)
+    lim = 1.5 * 1.3 * tol * float(np.abs(a).max())
+    assert np.abs(rec64 - a).max() <= lim
+    # direct f32 decode matches too
+    meta = dict(tolabs=enc.tolabs, midval=enc.midval,
+                halfspanval=enc.halfspanval, wlev=enc.wlev, nlay=enc.nlay,
+                ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
+                minval_vec=enc.minval_vec, len_enc_vec=enc.len_enc_vec,
+                data=enc.data)
+    rec32 = wn.decode_field_f32(meta, a.shape)
+    assert np.abs(rec32 - a).max() <= lim
+
+
+def test_f32_native_with_turbo():
+    from waverange_tpu import native as wn
+    rng = np.random.default_rng(10)
+    a = (np.cumsum(rng.standard_normal((24, 24, 24)), axis=1) / 4
+         ).astype(np.float32)
+    tol = 1e-4
+    m = wn.encode_field_f32(a, tol, coder=1)
+    r = wn.decode_field_f32(m, a.shape, coder=1)
+    assert np.abs(r - a).max() <= 1.5 * 1.3 * tol * float(np.abs(a).max())

@@ -96,10 +96,12 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     effectively uniform — see SURVEY.md §2 ind_p2w_3d quirk).
 
     `precision`: "f64" (reference semantics — f32 inputs are widened, as
-    the reference always does) or "native" (jax backend only): keep the
-    input dtype on device. f32 is the TPU's native dtype — half the
-    bandwidth/memory, tolerance-exact at f32 resolution (tol >= ~1e-6).
-    The stream stays format-compatible (metadata is stored as f64).
+    the reference always does) or "native": keep f32 inputs in f32. On
+    the jax backend the whole device step runs in the TPU's native
+    dtype; on the native backend a templated f32 C++ pipeline runs at
+    half the memory bandwidth of the widened path. Tolerance-exact at
+    f32 resolution (tol >= ~1e-6); the stream stays format-compatible
+    (metadata is stored as f64) and is decodable by the f64 decoders.
 
     `coder`: "range" (default, reference-bit-exact bitstream,
     CODER_VERSION 31503) or "rans"/"turbo" (format v2, CODER_VERSION
@@ -118,6 +120,11 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
             meta = _encode_jax(fld, tolrel, wtflag=wtflag,
                                keep_dtype=(precision == "native"),
                                coder=cid)
+    elif (precision == "native" and fld.dtype == np.float32
+          and mx == my == mz == 1):
+        with timed("encode.native.f32"):
+            meta = wn.encode_field_f32(fld, tolrel, wtflag=wtflag,
+                                       coder=cid)
     else:
         with timed("encode.native"):
             meta = wn.encode_field(np.asarray(fld, np.float64),

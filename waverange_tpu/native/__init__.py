@@ -65,6 +65,17 @@ def get_lib() -> ct.CDLL:
         lib.wrn_decode_field.argtypes = [
             f64p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
             f64p, f64p, u64p, u8p, ct.c_int]
+        f32p = ct.POINTER(ct.c_float)
+        lib.wrn_wavelet3d_f32.restype = None
+        lib.wrn_wavelet3d_f32.argtypes = [f32p, u64, u64, u64, ct.c_int]
+        lib.wrn_encode_field_f32.restype = u64
+        lib.wrn_encode_field_f32.argtypes = [
+            f32p, u64, u64, u64, ct.c_int, ct.c_double, f64p, f64p, f64p,
+            u8p, u8p, f64p, f64p, u64p, u8p, ct.c_int]
+        lib.wrn_decode_field_f32.restype = None
+        lib.wrn_decode_field_f32.argtypes = [
+            f32p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
+            f64p, f64p, u64p, u8p, ct.c_int]
         lib.wrn_mask_separate.restype = ct.c_double
         lib.wrn_mask_separate.argtypes = [f64p, f64p, u64, ct.c_double,
                                           ct.c_double]
@@ -212,6 +223,64 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
         halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
         ntot_enc=int(ntot_enc), deps_vec=deps_vec, minval_vec=minval_vec,
         len_enc_vec=len_enc_vec, data=data_enc[:ntot_enc].tobytes())
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_float))
+
+
+def encode_field_f32(fld: np.ndarray, tolrel: float, wtflag: int = 1,
+                     coder: int = 0) -> dict:
+    """f32-native host encode (opt-in throughput mode): lifting,
+    quantization and residuals all in f32 — half the memory bandwidth of
+    the widened f64 path. Stream format identical (f64 metadata); NOT
+    the bit-exact reference path (uniform cutoff only)."""
+    lib = get_lib()
+    fld = np.ascontiguousarray(fld, dtype=np.float32).copy()
+    nz, ny, nx = fld.shape
+    n = fld.size
+    tolabs = ct.c_double()
+    midval = ct.c_double()
+    halfspanval = ct.c_double()
+    wlev = ct.c_uint8()
+    nlay = ct.c_uint8()
+    deps_vec = np.zeros(NLAYMAX, dtype=np.float64)
+    minval_vec = np.zeros(NLAYMAX, dtype=np.float64)
+    len_enc_vec = np.zeros(NLAYMAX, dtype=np.uint64)
+    data_enc = np.empty(NLAYMAX * max(n, 1024), dtype=np.uint8)
+    ntot_enc = lib.wrn_encode_field_f32(
+        _f32p(fld), nx, ny, nz, wtflag, tolrel,
+        ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
+        ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),
+        _u64p(len_enc_vec), _u8p(data_enc), coder)
+    return dict(
+        tolabs=tolabs.value, midval=midval.value,
+        halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
+        ntot_enc=int(ntot_enc), deps_vec=deps_vec, minval_vec=minval_vec,
+        len_enc_vec=len_enc_vec, data=data_enc[:ntot_enc].tobytes())
+
+
+def decode_field_f32(meta: dict, shape: Tuple[int, int, int],
+                     coder: int = 0) -> np.ndarray:
+    """f32-native host decode to an (nz, ny, nx) f32 field."""
+    lib = get_lib()
+    nz, ny, nx = shape
+    fld = np.empty(shape, dtype=np.float32)
+    data = np.frombuffer(meta["data"], dtype=np.uint8)
+    need = int(np.asarray(meta["len_enc_vec"][:meta["nlay"]],
+                          np.uint64).sum())
+    if data.size < need:
+        raise ValueError(
+            f"encoded payload truncated: {data.size} bytes, header "
+            f"declares {need}")
+    deps_vec = np.ascontiguousarray(meta["deps_vec"], dtype=np.float64)
+    minval_vec = np.ascontiguousarray(meta["minval_vec"], dtype=np.float64)
+    len_enc_vec = np.ascontiguousarray(meta["len_enc_vec"], dtype=np.uint64)
+    lib.wrn_decode_field_f32(
+        _f32p(fld), nx, ny, nz, meta["midval"], meta["wlev"], meta["nlay"],
+        meta["ntot_enc"], _f64p(deps_vec), _f64p(minval_vec),
+        _u64p(len_enc_vec), _u8p(data), coder)
+    return fld
 
 
 def mask_separate(fld: np.ndarray, thresh: float, minval: float

@@ -733,45 +733,54 @@ static ExtCoef ext_coeffs() {
           -2 * (kLift[0] + kLift[2] + 3 * kLift[0] * kLift[1] * kLift[2]) / den};
 }
 
+// The pipelines are templated over the element type: T=double is the
+// bit-exact reference path; T=float is the opt-in f32-native mode
+// (half the memory bandwidth; lifting constants rounded to f32, same
+// stream format with f64 metadata).
+
 // Forward-lift one gathered line of length n into out (same length).
-static void lift_line_fwd(const double* v, u64 n, double* lo, double* hi,
-                          double* out) {
+template <typename T>
+static void lift_line_fwd(const T* v, u64 n, T* lo, T* hi,
+                          T* out) {
   const u64 m = n / 2 + (n % 2);
   for (u64 i = 0; i < m; ++i) lo[i] = v[2 * i];
   for (u64 i = 0; 2 * i + 1 < n; ++i) hi[i] = v[2 * i + 1];
+  const T l0 = T(kLift[0]), l1 = T(kLift[1]), l2 = T(kLift[2]),
+          l3 = T(kLift[3]), sc = T(kScale), si = T(kScaleInv);
   if (n % 2) {
     ExtCoef e = ext_coeffs();
-    hi[m - 1] = lo[m - 2] * e.a + hi[m - 2] * e.b + lo[m - 1] * e.c;
+    hi[m - 1] = lo[m - 2] * T(e.a) + hi[m - 2] * T(e.b) + lo[m - 1] * T(e.c);
   }
-  for (u64 i = 0; i + 1 < m; ++i) hi[i] += kLift[0] * (lo[i + 1] + lo[i]);
-  hi[m - 1] += kLift[0] * 2 * lo[m - 1];
-  lo[0] += kLift[1] * 2 * hi[0];
-  for (u64 i = 1; i < m; ++i) lo[i] += kLift[1] * (hi[i] + hi[i - 1]);
-  for (u64 i = 0; i + 1 < m; ++i) hi[i] += kLift[2] * (lo[i + 1] + lo[i]);
-  hi[m - 1] += kLift[2] * 2 * lo[m - 1];
-  lo[0] += kLift[3] * 2 * hi[0];
-  for (u64 i = 1; i < m; ++i) lo[i] += kLift[3] * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < m; ++i) hi[i] += l0 * (lo[i + 1] + lo[i]);
+  hi[m - 1] += l0 * 2 * lo[m - 1];
+  lo[0] += l1 * 2 * hi[0];
+  for (u64 i = 1; i < m; ++i) lo[i] += l1 * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < m; ++i) hi[i] += l2 * (lo[i + 1] + lo[i]);
+  hi[m - 1] += l2 * 2 * lo[m - 1];
+  lo[0] += l3 * 2 * hi[0];
+  for (u64 i = 1; i < m; ++i) lo[i] += l3 * (hi[i] + hi[i - 1]);
   for (u64 i = 0; i < m; ++i) {
-    out[i] = lo[i] * kScale;
-    if (2 * i + 1 < n) out[i + m] = hi[i] * kScaleInv;
+    out[i] = lo[i] * sc;
+    if (2 * i + 1 < n) out[i + m] = hi[i] * si;
   }
 }
 
 // Inverse-lift one gathered line of length m into out (same length).
-static void lift_line_inv(const double* v, u64 m, double* lo, double* hi,
-                          double* out) {
+template <typename T>
+static void lift_line_inv(const T* v, u64 m, T* lo, T* hi,
+                          T* out) {
   const u64 q = m / 2 + (m % 2);
-  for (u64 i = 0; i < q; ++i) lo[i] = v[i] * kScaleInv;
-  for (u64 i = 0; i < m - q; ++i) hi[i] = v[i + q] * kScale;
+  for (u64 i = 0; i < q; ++i) lo[i] = v[i] * T(kScaleInv);
+  for (u64 i = 0; i < m - q; ++i) hi[i] = v[i + q] * T(kScale);
   if (m % 2) hi[q - 1] = 0;
-  lo[0] -= kLift[3] * 2 * hi[0];
-  for (u64 i = 1; i < q; ++i) lo[i] -= kLift[3] * (hi[i] + hi[i - 1]);
-  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= kLift[2] * (lo[i + 1] + lo[i]);
-  hi[q - 1] -= kLift[2] * 2 * lo[q - 1];
-  lo[0] -= kLift[1] * 2 * hi[0];
-  for (u64 i = 1; i < q; ++i) lo[i] -= kLift[1] * (hi[i] + hi[i - 1]);
-  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= kLift[0] * (lo[i + 1] + lo[i]);
-  hi[q - 1] -= kLift[0] * 2 * lo[q - 1];
+  lo[0] -= T(kLift[3]) * 2 * hi[0];
+  for (u64 i = 1; i < q; ++i) lo[i] -= T(kLift[3]) * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= T(kLift[2]) * (lo[i + 1] + lo[i]);
+  hi[q - 1] -= T(kLift[2]) * 2 * lo[q - 1];
+  lo[0] -= T(kLift[1]) * 2 * hi[0];
+  for (u64 i = 1; i < q; ++i) lo[i] -= T(kLift[1]) * (hi[i] + hi[i - 1]);
+  for (u64 i = 0; i + 1 < q; ++i) hi[i] -= T(kLift[0]) * (lo[i + 1] + lo[i]);
+  hi[q - 1] -= T(kLift[0]) * 2 * lo[q - 1];
   for (u64 i = 0; i < q; ++i) {
     out[2 * i] = lo[i];
     if (2 * i + 1 < m) out[2 * i + 1] = hi[i];
@@ -825,170 +834,174 @@ static void parallel_for(u64 n, const F& body, int nthreads = 0) {
 // ---------------------------------------------------------------------------
 
 // Forward-lift along the row axis of a slab: n rows at base + i*rs, each
-// w contiguous doubles. lo/hi are (m x w) scratch buffers.
-static void lift_slab_fwd(double* base, u64 n, u64 w, u64 rs, double* lo,
-                          double* hi) {
+// w contiguous elements. lo/hi are (m x w) scratch buffers.
+template <typename T>
+static void lift_slab_fwd(T* base, u64 n, u64 w, u64 rs, T* lo,
+                          T* hi) {
   const u64 m = n / 2 + (n % 2);
   for (u64 i = 0; i < m; ++i)
-    std::memcpy(lo + i * w, base + (2 * i) * rs, w * sizeof(double));
+    std::memcpy(lo + i * w, base + (2 * i) * rs, w * sizeof(T));
   for (u64 i = 0; 2 * i + 1 < n; ++i)
-    std::memcpy(hi + i * w, base + (2 * i + 1) * rs, w * sizeof(double));
+    std::memcpy(hi + i * w, base + (2 * i + 1) * rs, w * sizeof(T));
   if (n % 2) {
     ExtCoef e = ext_coeffs();
-    double* hm1 = hi + (m - 1) * w;
-    const double* lm2 = lo + (m - 2) * w;
-    const double* hm2 = hi + (m - 2) * w;
-    const double* lm1 = lo + (m - 1) * w;
+    T* hm1 = hi + (m - 1) * w;
+    const T* lm2 = lo + (m - 2) * w;
+    const T* hm2 = hi + (m - 2) * w;
+    const T* lm1 = lo + (m - 1) * w;
+    const T ea = T(e.a), eb = T(e.b), ec = T(e.c);
     for (u64 x = 0; x < w; ++x)
-      hm1[x] = lm2[x] * e.a + hm2[x] * e.b + lm1[x] * e.c;
+      hm1[x] = lm2[x] * ea + hm2[x] * eb + lm1[x] * ec;
   }
   // stage 1: hi += l0*(lo_next + lo), tail doubled
   for (u64 i = 0; i + 1 < m; ++i) {
-    double* h = hi + i * w;
-    const double* l0p = lo + i * w;
-    const double* l1p = lo + (i + 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] += kLift[0] * (l1p[x] + l0p[x]);
+    T* h = hi + i * w;
+    const T* l0p = lo + i * w;
+    const T* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += T(kLift[0]) * (l1p[x] + l0p[x]);
   }
   {
-    double* h = hi + (m - 1) * w;
-    const double* l = lo + (m - 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] += kLift[0] * 2 * l[x];
+    T* h = hi + (m - 1) * w;
+    const T* l = lo + (m - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += T(kLift[0]) * 2 * l[x];
   }
   // stage 2: lo += l1*(hi + hi_prev), head doubled
   {
-    double* l = lo;
-    const double* h = hi;
-    for (u64 x = 0; x < w; ++x) l[x] += kLift[1] * 2 * h[x];
+    T* l = lo;
+    const T* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] += T(kLift[1]) * 2 * h[x];
   }
   for (u64 i = 1; i < m; ++i) {
-    double* l = lo + i * w;
-    const double* h0 = hi + i * w;
-    const double* hm = hi + (i - 1) * w;
-    for (u64 x = 0; x < w; ++x) l[x] += kLift[1] * (h0[x] + hm[x]);
+    T* l = lo + i * w;
+    const T* h0 = hi + i * w;
+    const T* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] += T(kLift[1]) * (h0[x] + hm[x]);
   }
   // stage 3
   for (u64 i = 0; i + 1 < m; ++i) {
-    double* h = hi + i * w;
-    const double* l0p = lo + i * w;
-    const double* l1p = lo + (i + 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] += kLift[2] * (l1p[x] + l0p[x]);
+    T* h = hi + i * w;
+    const T* l0p = lo + i * w;
+    const T* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += T(kLift[2]) * (l1p[x] + l0p[x]);
   }
   {
-    double* h = hi + (m - 1) * w;
-    const double* l = lo + (m - 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] += kLift[2] * 2 * l[x];
+    T* h = hi + (m - 1) * w;
+    const T* l = lo + (m - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] += T(kLift[2]) * 2 * l[x];
   }
   // stage 4
   {
-    double* l = lo;
-    const double* h = hi;
-    for (u64 x = 0; x < w; ++x) l[x] += kLift[3] * 2 * h[x];
+    T* l = lo;
+    const T* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] += T(kLift[3]) * 2 * h[x];
   }
   for (u64 i = 1; i < m; ++i) {
-    double* l = lo + i * w;
-    const double* h0 = hi + i * w;
-    const double* hm = hi + (i - 1) * w;
-    for (u64 x = 0; x < w; ++x) l[x] += kLift[3] * (h0[x] + hm[x]);
+    T* l = lo + i * w;
+    const T* h0 = hi + i * w;
+    const T* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] += T(kLift[3]) * (h0[x] + hm[x]);
   }
   // scatter with scaling: [lo*s | hi/s]
   for (u64 i = 0; i < m; ++i) {
-    double* dst = base + i * rs;
-    const double* l = lo + i * w;
-    for (u64 x = 0; x < w; ++x) dst[x] = l[x] * kScale;
+    T* dst = base + i * rs;
+    const T* l = lo + i * w;
+    for (u64 x = 0; x < w; ++x) dst[x] = l[x] * T(kScale);
   }
   for (u64 i = 0; 2 * i + 1 < n; ++i) {
-    double* dst = base + (i + m) * rs;
-    const double* h = hi + i * w;
-    for (u64 x = 0; x < w; ++x) dst[x] = h[x] * kScaleInv;
+    T* dst = base + (i + m) * rs;
+    const T* h = hi + i * w;
+    for (u64 x = 0; x < w; ++x) dst[x] = h[x] * T(kScaleInv);
   }
 }
 
 // Inverse-lift along the row axis of a slab (n rows).
-static void lift_slab_inv(double* base, u64 n, u64 w, u64 rs, double* lo,
-                          double* hi) {
+template <typename T>
+static void lift_slab_inv(T* base, u64 n, u64 w, u64 rs, T* lo,
+                          T* hi) {
   const u64 q = n / 2 + (n % 2);
   for (u64 i = 0; i < q; ++i) {
-    double* l = lo + i * w;
-    const double* src = base + i * rs;
-    for (u64 x = 0; x < w; ++x) l[x] = src[x] * kScaleInv;
+    T* l = lo + i * w;
+    const T* src = base + i * rs;
+    for (u64 x = 0; x < w; ++x) l[x] = src[x] * T(kScaleInv);
   }
   for (u64 i = 0; i < n - q; ++i) {
-    double* h = hi + i * w;
-    const double* src = base + (i + q) * rs;
-    for (u64 x = 0; x < w; ++x) h[x] = src[x] * kScale;
+    T* h = hi + i * w;
+    const T* src = base + (i + q) * rs;
+    for (u64 x = 0; x < w; ++x) h[x] = src[x] * T(kScale);
   }
   if (n % 2)
-    std::memset(hi + (q - 1) * w, 0, w * sizeof(double));
+    std::memset(hi + (q - 1) * w, 0, w * sizeof(T));
   // stage 1: lo -= l3*(hi + hi_prev), head doubled
   {
-    double* l = lo;
-    const double* h = hi;
-    for (u64 x = 0; x < w; ++x) l[x] -= kLift[3] * 2 * h[x];
+    T* l = lo;
+    const T* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] -= T(kLift[3]) * 2 * h[x];
   }
   for (u64 i = 1; i < q; ++i) {
-    double* l = lo + i * w;
-    const double* h0 = hi + i * w;
-    const double* hm = hi + (i - 1) * w;
-    for (u64 x = 0; x < w; ++x) l[x] -= kLift[3] * (h0[x] + hm[x]);
+    T* l = lo + i * w;
+    const T* h0 = hi + i * w;
+    const T* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] -= T(kLift[3]) * (h0[x] + hm[x]);
   }
   // stage 2: hi -= l2*(lo_next + lo), tail doubled
   for (u64 i = 0; i + 1 < q; ++i) {
-    double* h = hi + i * w;
-    const double* l0p = lo + i * w;
-    const double* l1p = lo + (i + 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] -= kLift[2] * (l1p[x] + l0p[x]);
+    T* h = hi + i * w;
+    const T* l0p = lo + i * w;
+    const T* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= T(kLift[2]) * (l1p[x] + l0p[x]);
   }
   {
-    double* h = hi + (q - 1) * w;
-    const double* l = lo + (q - 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] -= kLift[2] * 2 * l[x];
+    T* h = hi + (q - 1) * w;
+    const T* l = lo + (q - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= T(kLift[2]) * 2 * l[x];
   }
   // stage 3
   {
-    double* l = lo;
-    const double* h = hi;
-    for (u64 x = 0; x < w; ++x) l[x] -= kLift[1] * 2 * h[x];
+    T* l = lo;
+    const T* h = hi;
+    for (u64 x = 0; x < w; ++x) l[x] -= T(kLift[1]) * 2 * h[x];
   }
   for (u64 i = 1; i < q; ++i) {
-    double* l = lo + i * w;
-    const double* h0 = hi + i * w;
-    const double* hm = hi + (i - 1) * w;
-    for (u64 x = 0; x < w; ++x) l[x] -= kLift[1] * (h0[x] + hm[x]);
+    T* l = lo + i * w;
+    const T* h0 = hi + i * w;
+    const T* hm = hi + (i - 1) * w;
+    for (u64 x = 0; x < w; ++x) l[x] -= T(kLift[1]) * (h0[x] + hm[x]);
   }
   // stage 4
   for (u64 i = 0; i + 1 < q; ++i) {
-    double* h = hi + i * w;
-    const double* l0p = lo + i * w;
-    const double* l1p = lo + (i + 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] -= kLift[0] * (l1p[x] + l0p[x]);
+    T* h = hi + i * w;
+    const T* l0p = lo + i * w;
+    const T* l1p = lo + (i + 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= T(kLift[0]) * (l1p[x] + l0p[x]);
   }
   {
-    double* h = hi + (q - 1) * w;
-    const double* l = lo + (q - 1) * w;
-    for (u64 x = 0; x < w; ++x) h[x] -= kLift[0] * 2 * l[x];
+    T* h = hi + (q - 1) * w;
+    const T* l = lo + (q - 1) * w;
+    for (u64 x = 0; x < w; ++x) h[x] -= T(kLift[0]) * 2 * l[x];
   }
   // re-interleave
   for (u64 i = 0; i < q; ++i)
-    std::memcpy(base + (2 * i) * rs, lo + i * w, w * sizeof(double));
+    std::memcpy(base + (2 * i) * rs, lo + i * w, w * sizeof(T));
   for (u64 i = 0; 2 * i + 1 < n; ++i)
-    std::memcpy(base + (2 * i + 1) * rs, hi + i * w, w * sizeof(double));
+    std::memcpy(base + (2 * i + 1) * rs, hi + i * w, w * sizeof(T));
 }
 
 // Apply forward lifting along one axis of the active sub-box (n1,n2,n3) of
 // the full array (stride layout from full dims).
-static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
+template <typename T>
+static void sweep_axis_fwd(T* fld, Dim3 full, Dim3 act, int axis) {
   const u64 sy = full.nx, sz = full.nx * full.ny;
   if (axis == 0) {
     const u64 n = act.nx;
     if (n <= 1) return;
     const u64 m = n / 2 + (n % 2);
-    thread_local std::vector<double> lo, hi, out;
+    thread_local std::vector<T> lo, hi, out;
     parallel_for(act.nz * act.ny, [&](u64 j) {
       if (out.size() < n) { lo.resize(m); hi.resize(m); out.resize(n); }
       u64 j2 = j / act.ny, j1 = j % act.ny;
-      double* line = fld + j1 * sy + j2 * sz;
+      T* line = fld + j1 * sy + j2 * sz;
       lift_line_fwd(line, n, lo.data(), hi.data(), out.data());
-      std::memcpy(line, out.data(), n * sizeof(double));
+      std::memcpy(line, out.data(), n * sizeof(T));
     });
     return;
   }
@@ -999,26 +1012,27 @@ static void sweep_axis_fwd(double* fld, Dim3 full, Dim3 act, int axis) {
   const u64 rs = (axis == 1) ? sy : sz;
   const u64 c = (axis == 1) ? act.nz : act.ny;
   const u64 cstride = (axis == 1) ? sz : sy;
-  thread_local std::vector<double> lo, hi;
+  thread_local std::vector<T> lo, hi;
   parallel_for(c, [&](u64 j) {
     if (lo.size() < m * w) { lo.resize(m * w); hi.resize(m * w); }
     lift_slab_fwd(fld + j * cstride, n, w, rs, lo.data(), hi.data());
   });
 }
 
-static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
+template <typename T>
+static void sweep_axis_inv(T* fld, Dim3 full, Dim3 act, int axis) {
   const u64 sy = full.nx, sz = full.nx * full.ny;
   if (axis == 0) {
     const u64 n = act.nx;
     if (n <= 1) return;
     const u64 q = n / 2 + (n % 2);
-    thread_local std::vector<double> lo, hi, out;
+    thread_local std::vector<T> lo, hi, out;
     parallel_for(act.nz * act.ny, [&](u64 j) {
       if (out.size() < n) { lo.resize(q); hi.resize(q); out.resize(n); }
       u64 j2 = j / act.ny, j1 = j % act.ny;
-      double* line = fld + j1 * sy + j2 * sz;
+      T* line = fld + j1 * sy + j2 * sz;
       lift_line_inv(line, n, lo.data(), hi.data(), out.data());
-      std::memcpy(line, out.data(), n * sizeof(double));
+      std::memcpy(line, out.data(), n * sizeof(T));
     });
     return;
   }
@@ -1029,7 +1043,7 @@ static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
   const u64 rs = (axis == 1) ? sy : sz;
   const u64 c = (axis == 1) ? act.nz : act.ny;
   const u64 cstride = (axis == 1) ? sz : sy;
-  thread_local std::vector<double> lo, hi;
+  thread_local std::vector<T> lo, hi;
   parallel_for(c, [&](u64 j) {
     if (lo.size() < q * w) { lo.resize(q * w); hi.resize(q * w); }
     lift_slab_inv(fld + j * cstride, n, w, rs, lo.data(), hi.data());
@@ -1038,7 +1052,8 @@ static void sweep_axis_inv(double* fld, Dim3 full, Dim3 act, int axis) {
 
 static inline u64 halve_up(u64 n) { return n / 2 + (n % 2); }
 
-void wavelet3d_forward(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
+template <typename T>
+void wavelet3d_forward(T* fld, u64 nx, u64 ny, u64 nz, int levels) {
   Dim3 full{nx, ny, nz};
   Dim3 act{nx, ny, nz};
   for (int k = 0; k < levels; ++k) {
@@ -1049,7 +1064,8 @@ void wavelet3d_forward(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
   }
 }
 
-void wavelet3d_inverse(double* fld, u64 nx, u64 ny, u64 nz, int levels) {
+template <typename T>
+void wavelet3d_inverse(T* fld, u64 nx, u64 ny, u64 nz, int levels) {
   Dim3 full{nx, ny, nz};
   for (int k = levels; k >= 1; --k) {
     // Active sub-box extent at depth k-1 is ceil(n / 2^(k-1)).
@@ -1161,20 +1177,21 @@ void index_phys_to_wav(int levels, int n1, int n2, int n3, int i1, int i2,
 // Vectorizable min/max scan. Uses compare-select (maps to vminpd/vmaxpd),
 // which equals the reference's sequential fmin/fmax for NaN-free data —
 // the codec's domain (CFD fields; NaN inputs are out of contract).
-static inline void minmax_scan(const double* p, u64 n, double* mn_out,
-                               double* mx_out) {
-  double mn0 = p[0], mx0 = p[0], mn1 = p[0], mx1 = p[0];
-  double mn2 = p[0], mx2 = p[0], mn3 = p[0], mx3 = p[0];
+template <typename T>
+static inline void minmax_scan(const T* p, u64 n, T* mn_out,
+                               T* mx_out) {
+  T mn0 = p[0], mx0 = p[0], mn1 = p[0], mx1 = p[0];
+  T mn2 = p[0], mx2 = p[0], mn3 = p[0], mx3 = p[0];
   u64 j = 0;
   for (; j + 4 <= n; j += 4) {
-    double a = p[j], b = p[j + 1], c = p[j + 2], d = p[j + 3];
+    T a = p[j], b = p[j + 1], c = p[j + 2], d = p[j + 3];
     mn0 = a < mn0 ? a : mn0; mx0 = a > mx0 ? a : mx0;
     mn1 = b < mn1 ? b : mn1; mx1 = b > mx1 ? b : mx1;
     mn2 = c < mn2 ? c : mn2; mx2 = c > mx2 ? c : mx2;
     mn3 = d < mn3 ? d : mn3; mx3 = d > mx3 ? d : mx3;
   }
   for (; j < n; ++j) {
-    double a = p[j];
+    T a = p[j];
     mn0 = a < mn0 ? a : mn0;
     mx0 = a > mx0 ? a : mx0;
   }
@@ -1213,17 +1230,18 @@ static int quant_threads() {
 // field). The residual VALUES are identical to the unfused reference
 // sequence, and chunk-local compare-select min/max equals sequential
 // fmin/fmax on NaN-free data, so layer schedules stay bit-exact.
-static void quantize_residual_fused(double* fld, u8* syms, u64 j0, u64 j1,
-                                    double a, double b, double deps,
-                                    double mn, double* out_mn,
-                                    double* out_mx) {
-  double rmn = 0, rmx = 0;
+template <typename T>
+static void quantize_residual_fused(T* fld, u8* syms, u64 j0, u64 j1,
+                                    T a, T b, T deps,
+                                    T mn, T* out_mn,
+                                    T* out_mx) {
+  T rmn = 0, rmx = 0;
   bool first = true;
   for (u64 j = j0; j < j1; ++j) {
-    double fq = a * fld[j] + b;
+    T fq = a * fld[j] + b;
     u8 s = u8(fq);  // truncation == floor for non-negative fq
     syms[j] = s;
-    double r = fld[j] - (s * deps + mn);
+    T r = fld[j] - (s * deps + mn);
     fld[j] = r;
     if (first) {
       rmn = rmx = r;
@@ -1238,20 +1256,21 @@ static void quantize_residual_fused(double* fld, u8* syms, u64 j0, u64 j1,
 
 // Chunk-parallel min/max of fld[0..n) (compare-select; equals the
 // reference's sequential fmin/fmax for NaN-free data).
-static void minmax_parallel(const double* fld, u64 n, int qt, double* mn_out,
-                            double* mx_out) {
+template <typename T>
+static void minmax_parallel(const T* fld, u64 n, int qt, T* mn_out,
+                            T* mx_out) {
   const u64 chunk = 1u << 21;
   const u64 nchunks = (n + chunk - 1) / chunk;
   if (qt == 1 || nchunks < 2) {
     minmax_scan(fld, n, mn_out, mx_out);
     return;
   }
-  std::vector<double> mns(nchunks), mxs(nchunks);
+  std::vector<T> mns(nchunks), mxs(nchunks);
   parallel_for(nchunks, [&](u64 ci) {
     u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
     minmax_scan(fld + j0, j1 - j0, &mns[ci], &mxs[ci]);
   }, qt);
-  double mn = mns[0], mx = mxs[0];
+  T mn = mns[0], mx = mxs[0];
   for (u64 ci = 1; ci < nchunks; ++ci) {
     mn = mns[ci] < mn ? mns[ci] : mn;
     mx = mxs[ci] > mx ? mxs[ci] : mx;
@@ -1263,33 +1282,34 @@ static void minmax_parallel(const double* fld, u64 n, int qt, double* mn_out,
 // Layer schedule step: given the current field bounds, derive the model
 // (deps/min) and whether this is the final layer, then run the fused
 // quantize+residual+next-bounds pass.
-static LayerResult quantize_layer_fused(double* fld, u8* syms, u64 n,
-                                        double tolabs, int ilay, double mn,
-                                        double mx, double* next_mn,
-                                        double* next_mx) {
+template <typename T>
+static LayerResult quantize_layer_fused(T* fld, u8* syms, u64 n,
+                                        T tolabs, int ilay, T mn,
+                                        T mx, T* next_mn,
+                                        T* next_mx) {
   const int qt = quant_threads();
-  double deps = (mx - mn) / 255.0;
+  T deps = (mx - mn) / T(255.0);
   bool last = false;
   if (deps < tolabs) {
     deps = tolabs;
     last = true;
   }
   if (ilay >= kLayersMax - 1) last = true;
-  const double a = 1.0 / deps;
-  const double b = -mn * a + 0.5;
+  const T a = T(1.0) / deps;
+  const T b = -mn * a + T(0.5);
   const u64 chunk = 1u << 21;
   const u64 nchunks = (n + chunk - 1) / chunk;
   if (qt == 1 || nchunks < 2) {
     quantize_residual_fused(fld, syms, 0, n, a, b, deps, mn, next_mn,
                             next_mx);
   } else {
-    std::vector<double> mns(nchunks), mxs(nchunks);
+    std::vector<T> mns(nchunks), mxs(nchunks);
     parallel_for(nchunks, [&](u64 ci) {
       u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
       quantize_residual_fused(fld, syms, j0, j1, a, b, deps, mn, &mns[ci],
                               &mxs[ci]);
     }, qt);
-    double rmn = mns[0], rmx = mxs[0];
+    T rmn = mns[0], rmx = mxs[0];
     for (u64 ci = 1; ci < nchunks; ++ci) {
       rmn = mns[ci] < rmn ? mns[ci] : rmn;
       rmx = mxs[ci] > rmx ? mxs[ci] : rmx;
@@ -1355,7 +1375,8 @@ struct EncodeOut {
   u64 len_enc_vec[kLayersMax];
 };
 
-void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
+template <typename T>
+void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
                   int my, int mz, const double* cutoffvec, EncodeOut* out,
                   std::vector<u8>& payload, int coder = 0) {
   const u64 n = nx * ny * nz;
@@ -1365,11 +1386,13 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
   std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
 
-  double mn, mx_;
+  T mn, mx_;
   minmax_scan(fld, n, &mn, &mx_);
-  out->halfspanval = (mx_ - mn) / 2;
-  out->midval = mn + out->halfspanval;
-  if (out->halfspanval <= 2 * DBL_MIN) {
+  out->halfspanval = (double(mx_) - double(mn)) / 2;
+  out->midval = double(mn) + out->halfspanval;
+  const double tiny = std::is_same<T, double>::value
+                          ? 2 * DBL_MIN : 2 * double(FLT_MIN);
+  if (out->halfspanval <= tiny) {
     out->ntot_enc = 0;
     out->nlay = 0;
     out->tolabs = 0;
@@ -1380,7 +1403,9 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
 
   double tolrel = cutoffvec[0];
   for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
-  out->tolabs = tolrel * std::fmax(std::fabs(mn), std::fabs(mx_)) / kWavAccCoef;
+  out->tolabs = tolrel *
+                std::fmax(std::fabs(double(mn)), std::fabs(double(mx_))) /
+                kWavAccCoef;
 
   // Bounded layer pipeline: quantization is sequential through the
   // residual field, the per-layer entropy streams are independent. A
@@ -1444,7 +1469,7 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
 
   // Layer-0 model bounds from one scan of the wavelet field; each fused
   // quantize pass then yields the next layer's bounds for free.
-  double lmn = 0, lmx = 0;
+  T lmn = 0, lmx = 0;
   if (mtot <= 1) minmax_parallel(fld, n, quant_threads(), &lmn, &lmx);
 
   int ilay = 0;
@@ -1455,13 +1480,21 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
       cv.wait(lk, [&] { return layer_done[ilay - slots]; });
     }
     u8* syms = planebuf.data() + u64(ilay % slots) * n;
-    LayerResult lr =
-        (mtot > 1)
-            ? quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
-                                    tolrel, out->wlev, mx, my, mz, cutoffvec,
-                                    ilay)
-            : quantize_layer_fused(fld, syms, n, out->tolabs, ilay, lmn,
-                                   lmx, &lmn, &lmx);
+    LayerResult lr;
+    if (mtot > 1) {
+      // local-cutoff path exists only in the f64 conformance pipeline
+      if constexpr (std::is_same<T, double>::value) {
+        lr = quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
+                                   tolrel, out->wlev, mx, my, mz, cutoffvec,
+                                   ilay);
+      } else {
+        lr = quantize_layer_fused(fld, syms, n, T(out->tolabs), ilay, lmn,
+                                  lmx, &lmn, &lmx);
+      }
+    } else {
+      lr = quantize_layer_fused(fld, syms, n, T(out->tolabs), ilay, lmn,
+                                lmx, &lmn, &lmx);
+    }
     out->deps_vec[ilay] = lr.deps;
     out->minval_vec[ilay] = lr.minval;
     ++ilay;
@@ -1490,13 +1523,14 @@ void encode_field(double* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   out->ntot_enc = payload.size();
 }
 
-void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
+template <typename T>
+void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
                   u8 nlay, u64 ntot_enc, const double* deps_vec,
                   const double* minval_vec, const u64* len_enc_vec,
                   const u8* data_enc, int coder = 0) {
   const u64 n = nx * ny * nz;
   if (ntot_enc == 0) {
-    for (u64 j = 0; j < n; ++j) fld[j] = midval;
+    for (u64 j = 0; j < n; ++j) fld[j] = T(midval);
     return;
   }
   for (u64 j = 0; j < n; ++j) fld[j] = 0;
@@ -1564,8 +1598,8 @@ void decode_field(double* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
       cv.wait(lk, [&] { return layer_ready[l]; });
     }
     const u8* syms = planebuf.data() + u64(l % slots) * n;
-    const double deps = deps_vec[l];
-    const double mnv = minval_vec[l];
+    const T deps = T(deps_vec[l]);
+    const T mnv = T(minval_vec[l]);
     for (u64 j = 0; j < n; ++j) fld[j] = fld[j] + (syms[j] * deps + mnv);
     {
       std::lock_guard<std::mutex> lk(mu);
@@ -1700,6 +1734,14 @@ void wrn_wavelet3d(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
     wr::wavelet3d_inverse(fld, nx, ny, nz, -levels);
 }
 
+void wrn_wavelet3d_f32(float* fld, uint64_t nx, uint64_t ny, uint64_t nz,
+                       int levels) {
+  if (levels >= 0)
+    wr::wavelet3d_forward(fld, nx, ny, nz, levels);
+  else
+    wr::wavelet3d_inverse(fld, nx, ny, nz, -levels);
+}
+
 void wrn_index_p2w(int levels, int n1, int n2, int n3, int i1, int i2, int i3,
                    int* lvl, int* o1, int* o2, int* o3) {
   wr::index_phys_to_wav(levels, n1, n2, n3, i1, i2, i3, lvl, o1, o2, o3);
@@ -1739,6 +1781,45 @@ void wrn_decode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
                       uint64_t ntot_enc, const double* deps_vec,
                       const double* minval_vec, const uint64_t* len_enc_vec,
                       const uint8_t* data_enc, int coder) {
+  wr::decode_field(fld, nx, ny, nz, midval, wlev, nlay, ntot_enc, deps_vec,
+                   minval_vec, len_enc_vec, data_enc, coder);
+}
+
+// --- f32-native pipeline (opt-in; half the host memory bandwidth of the
+// widened path; stream format identical, metadata stored as f64; NOT the
+// bit-exact reference path) -------------------------------------------------
+
+uint64_t wrn_encode_field_f32(float* fld, uint64_t nx, uint64_t ny,
+                              uint64_t nz, int wtflag, double tolrel,
+                              double* tolabs, double* midval,
+                              double* halfspanval, uint8_t* wlev,
+                              uint8_t* nlay, double* deps_vec,
+                              double* minval_vec, uint64_t* len_enc_vec,
+                              uint8_t* data_enc, int coder) {
+  wr::EncodeOut eo;
+  std::vector<wr::u8> payload;
+  payload.reserve(nx * ny * nz / 2 + 4096);
+  double cutoff[1] = {tolrel};
+  wr::encode_field(fld, nx, ny, nz, wtflag, 1, 1, 1, cutoff, &eo, payload,
+                   coder);
+  *tolabs = eo.tolabs;
+  *midval = eo.midval;
+  *halfspanval = eo.halfspanval;
+  *wlev = eo.wlev;
+  *nlay = eo.nlay;
+  std::memcpy(deps_vec, eo.deps_vec, sizeof(eo.deps_vec));
+  std::memcpy(minval_vec, eo.minval_vec, sizeof(eo.minval_vec));
+  std::memcpy(len_enc_vec, eo.len_enc_vec, sizeof(eo.len_enc_vec));
+  std::memcpy(data_enc, payload.data(), payload.size());
+  return payload.size();
+}
+
+void wrn_decode_field_f32(float* fld, uint64_t nx, uint64_t ny, uint64_t nz,
+                          double midval, uint8_t wlev, uint8_t nlay,
+                          uint64_t ntot_enc, const double* deps_vec,
+                          const double* minval_vec,
+                          const uint64_t* len_enc_vec,
+                          const uint8_t* data_enc, int coder) {
   wr::decode_field(fld, nx, ny, nz, midval, wlev, nlay, ntot_enc, deps_vec,
                    minval_vec, len_enc_vec, data_enc, coder);
 }
