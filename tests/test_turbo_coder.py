@@ -108,3 +108,32 @@ def test_cli_env_optin(tmp_path):
                    capture_output=True)
     r = np.fromfile(tmp_path / "c.out", "<f8").reshape(a.shape)
     assert np.abs(r - a).max() <= 1.3e-8 * np.abs(a).max() * 3
+
+
+def test_simd_streams_byte_identical_to_scalar():
+    """The AVX-512 lane engine must produce byte-identical streams to the
+    portable scalar loops (WR_NO_SIMD=1), and decode them interchangeably.
+    Runs the scalar side in a subprocess because the dispatch decision is
+    cached per process."""
+    prog = r"""
+import numpy as np, hashlib, sys
+from waverange_tpu import native as wn
+rng = np.random.default_rng(123)
+hashes = []
+for n in [8, 63, 65535, 65536, 65537, 200001]:
+    for syms in [rng.integers(0, 256, n).astype(np.uint8),
+                 (rng.exponential(2.0, n) % 256).astype(np.uint8),
+                 np.full(n, 9, np.uint8)]:
+        e = wn.encode_plane(syms, coder=1)
+        assert np.array_equal(wn.decode_plane(e, n, coder=1), syms)
+        hashes.append(hashlib.sha256(e).hexdigest())
+print("\n".join(hashes))
+"""
+    def run(extra_env):
+        env = dict(os.environ, **extra_env)
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    assert run({}) == run({"WR_NO_SIMD": "1"})

@@ -29,6 +29,9 @@
 #include <vector>
 #include <mutex>
 #include <condition_variable>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 #include <chrono>
 #include <cstdlib>
 #include <cstdio>
@@ -558,6 +561,107 @@ static void normalize_freqs(const u32* counts, u64 bs, u16* freqs) {
   }
 }
 
+// ----------------------------------------------------------------------------
+// AVX-512 lane engine for the 8-lane interleaved rANS (bit-identical
+// streams; runtime-dispatched, scalar loops remain the portable path and
+// the oracle for the A/B tests). The format's 8 interleaved lane states
+// map onto one 8 x u32 vector; the only cross-lane coupling is the shared
+// stream pointer, which VBMI2's masked compress-store (encode) and
+// expand-load (decode) reproduce exactly: the scalar loops touch lanes in
+// ascending-memory order within each group of 8 symbols.
+// ----------------------------------------------------------------------------
+#if defined(__x86_64__)
+#define WR_HAVE_X86_SIMD 1
+
+static bool rans_simd_ok() {
+  static int ok = -1;
+  if (ok < 0)
+    ok = __builtin_cpu_supports("avx512f") &&
+         __builtin_cpu_supports("avx512vl") &&
+         __builtin_cpu_supports("avx512bw") &&
+         __builtin_cpu_supports("avx512dq") &&
+         __builtin_cpu_supports("avx512vbmi2") &&
+         getenv("WR_NO_SIMD") == nullptr;
+  return ok != 0;
+}
+
+// Encode groups of 8 symbols p[g..g+8) for g = hi-8 down to lo (hi-lo a
+// multiple of 8), updating the 8 lane states in x and writing renormalized
+// u16 words backwards from w. etab32[s] = freq | cum<<16.
+//
+// Exact floor(x/f): IEEE double division is correctly rounded, and with
+// f <= 2^14 the true quotient is at least 1/f >= 2^-14 away from the
+// integer on the wrong side, while the rounding error is < 2^-35
+// (x/f < 2^18 quotient, 0.5 ulp relative 2^-53) — so truncating the
+// rounded quotient always gives the exact integer quotient.
+__attribute__((target("avx2,popcnt,avx512f,avx512vl,avx512bw,avx512dq,avx512vbmi2")))
+static u16* rans_encode_simd(const u8* p, u64 lo, u64 hi, const u32* etab32,
+                             u32* x, u16* w) {
+  __m256i xv = _mm256_loadu_si256((const __m256i*)x);
+  const __m256i m16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i scale = _mm256_set1_epi32(1 << kProbBits);
+  for (u64 g = hi; g > lo;) {
+    g -= 8;
+    __m256i idx = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64((const __m128i*)(p + g)));
+    __m256i e = _mm256_i32gather_epi32((const int*)etab32, idx, 4);
+    __m256i freq = _mm256_and_si256(e, m16);
+    __m256i cum = _mm256_srli_epi32(e, 16);
+    __m256i xmax = _mm256_slli_epi32(freq, 18);  // f << (16 + 18 - 16)
+    __mmask8 k = _mm256_cmp_epu32_mask(xv, xmax, _MM_CMPINT_NLT);
+    w -= _mm_popcnt_u32(k);
+    _mm_mask_compressstoreu_epi16(w, k, _mm256_cvtepi32_epi16(xv));
+    xv = _mm256_mask_srli_epi32(xv, k, xv, 16);
+    __m512d xd = _mm512_cvtepu32_pd(xv);
+    __m512d fd = _mm512_cvtepu32_pd(freq);
+    __m256i q = _mm512_cvttpd_epu32(_mm512_div_pd(xd, fd));
+    // x += q*(2^14 - f) + cum  ==  (q<<14) + (x - q*f) + cum (mod 2^32)
+    xv = _mm256_add_epi32(
+        xv, _mm256_add_epi32(
+                _mm256_mullo_epi32(q, _mm256_sub_epi32(scale, freq)), cum));
+  }
+  _mm256_storeu_si256((__m256i*)x, xv);
+  return w;
+}
+
+// Decode full groups of 8 symbols starting at *pi while at least 16 bytes
+// of stream remain (each group consumes at most 8 u16 refills), updating
+// lane states and the stream cursor. dtab[slot] = sym | freq<<16 |
+// (slot - cum[sym])<<32.
+__attribute__((target("avx2,popcnt,avx512f,avx512vl,avx512bw,avx512dq,avx512vbmi2")))
+static void rans_decode_simd(u8* o, u64 bs, const u64* dtab, u32* x,
+                             const u8** pw, const u8* wend, u64* pi) {
+  __m256i xv = _mm256_loadu_si256((const __m256i*)x);
+  const __m256i slotmask = _mm256_set1_epi32(kProbScale - 1);
+  const __m256i m16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i lbound = _mm256_set1_epi32(kRansL);
+  const u8* w = *pw;
+  u64 i = *pi;
+  for (; i + 8 <= bs && w + 16 <= wend; i += 8) {
+    __m256i slot = _mm256_and_si256(xv, slotmask);
+    __m512i e = _mm512_i32gather_epi64(slot, (const long long*)dtab, 8);
+    _mm_storel_epi64((__m128i*)(o + i), _mm512_cvtepi64_epi8(e));
+    __m256i freq =
+        _mm256_and_si256(_mm512_cvtepi64_epi32(_mm512_srli_epi64(e, 16)), m16);
+    __m256i off = _mm512_cvtepi64_epi32(_mm512_srli_epi64(e, 32));
+    xv = _mm256_add_epi32(
+        _mm256_mullo_epi32(freq, _mm256_srli_epi32(xv, kProbBits)), off);
+    __mmask8 k = _mm256_cmp_epu32_mask(xv, lbound, _MM_CMPINT_LT);
+    __m256i bits =
+        _mm256_cvtepu16_epi32(_mm_maskz_expandloadu_epi16(k, w));
+    xv = _mm256_mask_blend_epi32(
+        k, xv, _mm256_or_si256(_mm256_slli_epi32(xv, 16), bits));
+    w += 2 * _mm_popcnt_u32(k);
+  }
+  _mm256_storeu_si256((__m256i*)x, xv);
+  *pw = w;
+  *pi = i;
+}
+#else
+#define WR_HAVE_X86_SIMD 0
+static bool rans_simd_ok() { return false; }
+#endif
+
 static inline void put_le16(std::vector<u8>& out, u32 v) {
   out.push_back(u8(v));
   out.push_back(u8(v >> 8));
@@ -598,15 +702,20 @@ void encode_plane_t(const u8* syms, u64 n, std::vector<u8>& out) {
     }
     cum[0] = 0;
     for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freqs[i];
-    for (int i = 0; i < 256; ++i)
-      if (freqs[i]) md[i] = MagicDiv::make(freqs[i]);
+    // SIMD engine takes the full groups of 8; the scalar loop takes the
+    // top partial group (processed first — rANS encodes in reverse) and
+    // the whole block on non-AVX-512 hosts.
+    const u64 cut = rans_simd_ok() ? (bs & ~u64(7)) : 0;
+    if (cut < bs)
+      for (int i = 0; i < 256; ++i)
+        if (freqs[i]) md[i] = MagicDiv::make(freqs[i]);
     // rANS encodes in reverse symbol order; u16 words are emitted
     // backwards so the stream reads forward on decode.
     u16* end16 = reinterpret_cast<u16*>(scratch.data()) + scratch.size() / 2;
     u16* w = end16;
     u32 x[kLanes];
     for (int k = 0; k < kLanes; ++k) x[k] = kRansL;
-    for (u64 i = bs; i-- > 0;) {
+    for (u64 i = bs; i-- > cut;) {
       const int lane = int(i & (kLanes - 1));
       const u8 s = p[i];
       const u32 f = freqs[s];
@@ -619,6 +728,14 @@ void encode_plane_t(const u8* syms, u64 n, std::vector<u8>& out) {
       const u32 q = md[s].div(xv);
       x[lane] = (q << kProbBits) + (xv - q * f) + cum[s];
     }
+#if WR_HAVE_X86_SIMD
+    if (cut) {
+      u32 etab32[256];
+      for (int i = 0; i < 256; ++i)
+        etab32[i] = u32(freqs[i]) | (cum[i] << 16);
+      w = rans_encode_simd(p, 0, cut, etab32, x, w);
+    }
+#endif
     for (int k = kLanes; k-- > 0;) {
       *--w = u16(x[k] >> 16);
       *--w = u16(x[k]);
@@ -637,6 +754,7 @@ u64 decode_plane_t(const u8* data, u64 len, u8* syms, u64 n) {
   u16 freqs[256];
   u32 cum[257];
   std::vector<u8> symtab(kProbScale);
+  std::vector<u64> dtab;  // slot -> sym | freq<<16 | (slot-cum)<<32
   u64 pos = 0;
   while (pos < n) {
     const u64 bs = std::min<u64>(kTBlock, n - pos);
@@ -673,7 +791,22 @@ u64 decode_plane_t(const u8* data, u64 len, u8* syms, u64 n) {
     }
     const u8* wend = r + plen;
     u8* o = syms + pos;
-    for (u64 i = 0; i < bs; ++i) {
+    u64 i = 0;
+#if WR_HAVE_X86_SIMD
+    if (rans_simd_ok() && bs >= 8) {
+      if (dtab.empty()) dtab.resize(kProbScale);
+      for (int s = 0; s < 256; ++s) {
+        const u64 base = u64(u8(s)) | (u64(freqs[s]) << 16);
+        u64* d = dtab.data() + cum[s];
+        for (u32 j = 0; j < freqs[s]; ++j) d[j] = base | (u64(j) << 32);
+      }
+      // Takes full groups of 8 while >= 16 stream bytes remain (a group
+      // refills at most 8 u16s), so the scalar tail's per-refill bounds
+      // check can never have fired inside the SIMD region.
+      rans_decode_simd(o, bs, dtab.data(), x, &w, wend, &i);
+    }
+#endif
+    for (; i < bs; ++i) {
       const int lane = int(i & (kLanes - 1));
       u32 xv = x[lane];
       const u32 slot = xv & (kProbScale - 1);
