@@ -1,0 +1,113 @@
+"""Device-side rANS (format v2) vs the C++ turbo coder: bit-identity A/B.
+
+The C++ coder (native/src/wr_native.cc, turbo::encode_plane_t /
+decode_plane_t) is the format oracle. These tests run the JAX
+implementation on the CPU backend (conftest pins jax_platforms=cpu);
+the arithmetic is exact integer u32 either way, so CPU/TPU agree —
+bench.py's WR_BENCH_VERIFY mode re-asserts identity on the real chip.
+"""
+import numpy as np
+import pytest
+
+from waverange_tpu import native as wn
+from waverange_tpu.ops import rans
+
+
+def _ab(syms: np.ndarray):
+    """Assert byte-identity and cross-decodability in both directions."""
+    n = syms.size
+    ref = wn.encode_plane(syms, coder=1)
+    dev = rans.encode_planes([syms])[0]
+    assert dev == ref
+    assert np.array_equal(rans.decode_planes([ref], [n])[0], syms)
+    assert np.array_equal(wn.decode_plane(dev, n, coder=1), syms)
+
+
+@pytest.mark.parametrize("n", [1, 7, 8, 9, 63, 65, 65535, 65536, 65537,
+                               131072, 200001])
+def test_sizes_bitexact(n):
+    rng = np.random.default_rng(n)
+    _ab(np.clip(rng.normal(100, 9, n), 0, 255).astype(np.uint8))
+
+
+@pytest.mark.parametrize("name", ["constant", "two_skew", "uniform",
+                                  "steal", "ramp", "mixed_const_block"])
+def test_distributions_bitexact(name):
+    rng = np.random.default_rng(hash(name) % 2**31)
+    n = 196608
+    if name == "constant":
+        syms = np.full(n, 42, np.uint8)
+    elif name == "two_skew":
+        syms = np.where(rng.random(n) < 1e-4, 7, 200).astype(np.uint8)
+    elif name == "uniform":
+        syms = rng.integers(0, 256, n).astype(np.uint8)
+    elif name == "steal":
+        # ~220 rare symbols force normalize_freqs' 0->1 clamps and the
+        # iterative steal loop (wr_native.cc normalize_freqs).
+        syms = np.zeros(n, np.uint8)
+        syms[:220] = np.arange(1, 221) % 256
+        rng.shuffle(syms)
+    elif name == "ramp":
+        syms = (np.arange(n) % 251).astype(np.uint8)
+    else:  # a single-symbol block sandwiched between normal blocks
+        syms = np.clip(rng.normal(100, 9, n), 0, 255).astype(np.uint8)
+        syms[65536:131072] = 9
+    _ab(syms)
+
+
+def test_multi_plane_batch():
+    """Several planes (incl. empty) encoded/decoded in one device batch."""
+    rng = np.random.default_rng(3)
+    planes = [
+        np.clip(rng.normal(128, 60, 196608), 0, 255).astype(np.uint8),
+        rng.integers(0, 4, 70001).astype(np.uint8),
+        np.zeros(0, np.uint8),
+        np.full(65536, 7, np.uint8),
+    ]
+    refs = [wn.encode_plane(p, coder=1) for p in planes]
+    devs = rans.encode_planes(planes)
+    assert all(d == r for d, r in zip(devs, refs))
+    decs = rans.decode_planes(refs, [p.size for p in planes])
+    assert all(np.array_equal(d, p) for d, p in zip(decs, planes))
+
+
+def test_quantized_field_planes_bitexact():
+    """End-to-end: the real byte layers of a turbo-encoded field.
+
+    Encode a field with the C++ turbo path (coder=1), split the payload
+    into per-layer streams, decode each with the device coder, and
+    re-encode on device — every layer stream must round back byte-exact.
+    """
+    from tests.conftest import smooth_field
+    a = smooth_field((48, 40, 56))
+    meta = wn.encode_field(a, wtflag=1, cutoff=np.array([1e-12]), coder=1)
+    assert meta["nlay"] >= 2
+    n = a.size
+    offs = np.concatenate(
+        [[0], np.cumsum(meta["len_enc_vec"][:meta["nlay"]])]).astype(int)
+    layers = [meta["data"][offs[i]:offs[i + 1]]
+              for i in range(meta["nlay"])]
+    planes = rans.decode_planes(layers, [n] * meta["nlay"])
+    assert rans.encode_planes(planes) == layers
+
+
+def test_exact_divmod_exhaustive_edges():
+    """The division-free floor(x/f) against numpy over adversarial pairs."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    f = rng.integers(1, 16384, 4096).astype(np.uint32)
+    # x just below/above multiples of f, near the renorm bound f<<18,
+    # and near u32 wrap candidates.
+    k = rng.integers(0, 1 << 18, 4096).astype(np.uint64)
+    base = (k * f.astype(np.uint64))
+    xs = []
+    for d in (0, 1, 2**16 - 1, 2**16, 2**16 + 1):
+        xs.append(((base + d) & 0xFFFFFFFF).astype(np.uint32))
+    x = np.concatenate(xs)
+    fr = np.tile(f, 5)
+    # keep the precondition q < 2^18
+    m = (x.astype(np.uint64) // fr) < (1 << 18)
+    x, fr = x[m], fr[m]
+    q, r = rans._exact_divmod(jnp.asarray(x), jnp.asarray(fr), 9)
+    assert np.array_equal(np.asarray(q), x // fr)
+    assert np.array_equal(np.asarray(r), x % fr)

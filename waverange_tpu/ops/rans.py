@@ -1,0 +1,423 @@
+"""Device-side turbo (format v2) interleaved-rANS entropy coder.
+
+Format oracle: the C++ turbo coder in ``native/src/wr_native.cc``
+(``turbo::encode_plane_t`` / ``turbo::decode_plane_t``).  Streams produced
+here are byte-identical to the C++ coder and vice versa — the A/B tests in
+``tests/test_rans_device.py`` pin this on every distribution/shape class.
+(The v2 format itself is this repo's own opt-in design; the reference
+range coder — /root/reference/src/rangecod/rangecod.c:182-207 — is a
+sequential carry chain and cannot run wide, which is exactly why v2 was
+designed 8-lane interleaved with a static per-block model.)
+
+TPU-first design
+----------------
+* Every 65536-symbol block is a self-contained stream (its own normalized
+  model, its own 8 lane states stored in the payload head), so a field's
+  byte layers map onto thousands of independent blocks: the batch axis is
+  the VPU's parallel axis, with 8 rANS lane states per block.
+* The only sequential dependency is the per-block state chain over groups
+  of 8 symbols.  It runs as ONE ``lax.scan`` vectorized over all blocks of
+  all byte layers at once (up to ~128K lane states advancing per step).
+* There is no integer division on device: exact ``floor(x/f)`` is computed
+  from two f32 quotient estimates plus exact u32 fix-ups, which makes the
+  result independent of the accuracy of the hardware divide (TPU float
+  division need not be correctly rounded; the fix-ups tolerate ±2).
+* Decode never searches the model: two per-block slot tables
+  (slot→symbol and slot→freq|offset) are built once per block with a
+  scatter + cumsum and gathered per step.
+* Container framing (512-byte model headers, payload lengths) is assembled
+  and parsed on the host — it is a few hundred bytes per 64 KiB block; all
+  per-symbol work stays on device.
+
+Stream layout per block (see wr_native.cc "Per-plane stream layout"):
+  u16 freqs[256] LE (sum = 16384)
+  u32 payload_len LE (0 => single-symbol block, no payload)
+  u8  payload[payload_len]  — 8 LE u32 lane states, then u16 words.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 14
+PROB_SCALE = 1 << PROB_BITS
+TBLOCK = 1 << 16
+RANS_L = 1 << 16
+LANES = 8
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _u32(x):
+    return jnp.asarray(x, _U32)
+
+
+# ----------------------------------------------------------------------------
+# Exact unsigned division on device.
+# ----------------------------------------------------------------------------
+def _fix_divmod(x, d, q):
+    """Exact (q, r) of divmod(x, d) in u32 given an estimate q within ±2.
+
+    All math mod 2^32.  A too-large estimate makes r = x - q*d wrap to the
+    top half of the u32 range (requires q*d - x < 2^31, true for every call
+    site: d ≤ 2^23 and estimates are within ±2).
+    """
+    r = x - q * d
+    half = _u32(0x80000000)
+    for _ in range(2):
+        over = r >= half
+        q = jnp.where(over, q - _u32(1), q)
+        r = jnp.where(over, r + d, r)
+        under = jnp.logical_and(r < half, r >= d)
+        q = jnp.where(under, q + _u32(1), q)
+        r = jnp.where(under, r - d, r)
+    return q, r
+
+
+def _exact_divmod(x, d, split: int):
+    """Exact (floor(x/d), x mod d) for u32 vectors, division-free in int.
+
+    Preconditions: 1 ≤ d, d << split ≤ 2^23, true quotient < 2^(2*split).
+    Uses two rounds of long division with f32 quotient estimates; the
+    integer fix-ups restore exactness, so hardware f32 divide accuracy
+    (within a couple ulp) never leaks into the result.
+    """
+    d1 = d << _u32(split)
+    q1 = (x.astype(jnp.float32) / d1.astype(jnp.float32)).astype(_U32)
+    q1, r1 = _fix_divmod(x, d1, q1)
+    q0 = (r1.astype(jnp.float32) / d.astype(jnp.float32)).astype(_U32)
+    q0, r = _fix_divmod(r1, d, q0)
+    return (q1 << _u32(split)) + q0, r
+
+
+# ----------------------------------------------------------------------------
+# Model building (histogram + deterministic normalization, wr_native.cc
+# turbo::normalize_freqs).
+# ----------------------------------------------------------------------------
+def _histogram(syms: jax.Array, bs: jax.Array) -> jax.Array:
+    """Per-block 256-bin histograms. syms (B, TBLOCK) u8, bs (B,) i32."""
+    B, N = syms.shape
+    pos = jnp.arange(N, dtype=_I32)[None, :]
+    active = pos < bs[:, None]
+    s = syms.astype(_I32)
+    ids = jnp.where(active, s, 256)  # pads land in a dropped bin
+    counts = jnp.zeros((B, 257), _I32).at[
+        jnp.broadcast_to(jnp.arange(B, dtype=_I32)[:, None], (B, N)), ids
+    ].add(1, mode="drop")
+    return counts[:, :256]
+
+
+def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
+    """Normalize counts to sum exactly PROB_SCALE, replicating the C++
+    algorithm bit-for-bit: floor(c*16384/bs) clamped up to 1 for present
+    symbols; a deficit goes to the (first) max-count symbol; an excess is
+    stolen repeatedly from the (first) max frequency > 1."""
+    B = counts.shape[0]
+    bs_safe = jnp.maximum(bs, 1).astype(_U32)
+    num = counts.astype(_U32) << _u32(PROB_BITS)  # ≤ 2^16 * 2^14 = 2^30
+    # quotient ≤ 16384 < 2^14 = 2^(2*7); bs << 7 ≤ 2^23.
+    q, _ = _exact_divmod(num, bs_safe[:, None], 7)
+    f = jnp.where(counts > 0, jnp.maximum(q.astype(_I32), 1), 0)
+    ssum = jnp.sum(f, axis=1, dtype=_I32)
+    maxs = jnp.argmax(counts, axis=1).astype(_I32)  # first max
+    deficit = jnp.maximum(PROB_SCALE - ssum, 0)
+    f = f.at[jnp.arange(B), maxs].add(deficit)
+    ssum = ssum + deficit
+
+    # Steal loop: ≤255 excess (only the 0→1 clamps overshoot), each
+    # iteration removes ≥1, so 255 masked iterations always converge.
+    def steal(_, state):
+        f, ssum = state
+        excess = ssum - PROB_SCALE
+        eligible = jnp.where(f > 1, f, 0)
+        b = jnp.argmax(eligible, axis=1).astype(_I32)  # first max, freq > 1
+        fb = f[jnp.arange(B), b]
+        take = jnp.clip(jnp.minimum(fb - 1, excess), 0)
+        f = f.at[jnp.arange(B), b].add(-take)
+        return f, ssum - take
+
+    f, _ = jax.lax.fori_loop(0, 255, steal, (f, ssum))
+    return f
+
+
+# ----------------------------------------------------------------------------
+# Encode: one reverse scan over groups of 8 symbols, all blocks at once.
+# ----------------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(2, 3))
+def _encode_scan(syms: jax.Array, bs: jax.Array, G: int, unroll: int):
+    """Run the rANS state chains for a batch of blocks.
+
+    Args:
+      syms: (B, TBLOCK) uint8, zero-padded past bs.
+      bs:   (B,) int32 actual symbol counts (0 < bs ≤ TBLOCK; 0 = dummy).
+      G:    number of 8-symbol groups to process (≥ ceil(max(bs)/8)).
+
+    Returns (freqs (B,256) i32, nsym (B,) i32, x_fin (B,8) u32,
+             words (G,B,8) u16, emits (G,B,8) bool, nwords (B,) i32).
+    """
+    B = syms.shape[0]
+    counts = _histogram(syms, bs)
+    freqs = _normalize_freqs(counts, bs)
+    nsym = jnp.sum(counts > 0, axis=1, dtype=_I32)
+    cum = jnp.cumsum(freqs, axis=1, dtype=_I32) - freqs  # exclusive (B,256)
+    freqs_u = freqs.astype(_U32)
+    cum_u = cum.astype(_U32)
+
+    sg = syms[:, : G * 8].reshape(B, G, 8).transpose(1, 0, 2)  # (G,B,8)
+    lane = jnp.arange(8, dtype=_I32)[None, :]
+
+    def step(x, xs):
+        s, g = xs
+        si = s.astype(_I32)
+        f = jnp.take_along_axis(freqs_u, si, axis=1)
+        c = jnp.take_along_axis(cum_u, si, axis=1)
+        active = (g * 8 + lane) < bs[:, None]
+        fs = jnp.maximum(f, _u32(1))  # pads/inactive only; active f ≥ 1
+        # Renormalize: emit low u16 while x ≥ f<<18 (wraps to 0 for
+        # f = 16384 exactly like the C++ u32 arithmetic; those are
+        # single-symbol blocks whose payload is discarded).
+        xmax = fs << _u32(18)
+        emit = jnp.logical_and(active, x >= xmax)
+        word = (x & _u32(0xFFFF)).astype(jnp.uint16)
+        x1 = jnp.where(emit, x >> _u32(16), x)
+        # x' = (q << 14) + (x - q*f) + cum  with exact q = floor(x/f)
+        q, r = _exact_divmod(x1, fs, 9)
+        xn = (q << _u32(PROB_BITS)) + r + c
+        x = jnp.where(active, xn, x)
+        return x, (word, emit)
+
+    x0 = jnp.full((B, LANES), RANS_L, _U32)
+    xs = (sg, jnp.arange(G, dtype=_I32))
+    # rANS encodes from the last symbol backwards; reverse=True also
+    # stacks outputs in natural group order = final stream order.
+    x_fin, (words, emits) = jax.lax.scan(step, x0, xs, reverse=True,
+                                         unroll=unroll)
+    nwords = jnp.sum(emits, axis=(0, 2), dtype=_I32)
+    return freqs, nsym, x_fin, words, emits, nwords
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _encode_compact(x_fin, words, emits, nsym, bs, wlens, Wcap: int):
+    """Scatter per-block payloads into one contiguous u16 stream.
+
+    Stream order per block: 16 lane-state words (lane k low u16 then high
+    u16, k ascending — the 8 LE u32 states), then the renorm words in
+    stream order (scan already stacked groups in final order; within a
+    group ascending lane order matches the C++ scalar loop's descending-i
+    `*--w` writes and the SIMD compress-store).
+    """
+    G, B, _ = words.shape
+    multi = nsym > 1
+    off = jnp.cumsum(wlens, dtype=_I32) - wlens  # exclusive prefix
+
+    st = jnp.stack([x_fin & _u32(0xFFFF), x_fin >> _u32(16)],
+                   axis=2).reshape(B, 16).astype(jnp.uint16)
+    st_pos = off[:, None] + jnp.arange(16, dtype=_I32)[None, :]
+    st_pos = jnp.where(multi[:, None], st_pos, Wcap)
+
+    wm = words.transpose(1, 0, 2).reshape(B, G * 8)
+    em = emits.transpose(1, 0, 2).reshape(B, G * 8)
+    pos = off[:, None] + 16 + jnp.cumsum(em, axis=1, dtype=_I32) - 1
+    valid = jnp.logical_and(em, multi[:, None])
+    pos = jnp.where(valid, pos, Wcap)
+
+    out = jnp.zeros((Wcap,), jnp.uint16)
+    out = out.at[st_pos.reshape(-1)].set(st.reshape(-1), mode="drop")
+    out = out.at[pos.reshape(-1)].set(wm.reshape(-1), mode="drop")
+    return out
+
+
+def _block_batch(planes: list[np.ndarray] | np.ndarray):
+    """Split planes into (blocks (B,TBLOCK) u8, bs (B,), plane spans)."""
+    if isinstance(planes, np.ndarray) and planes.ndim == 1:
+        planes = [planes]
+    blocks, bs, spans = [], [], []
+    for p in planes:
+        p = np.ascontiguousarray(p, np.uint8).ravel()
+        n = p.size
+        nb = -(-n // TBLOCK) if n else 0
+        spans.append((len(blocks), nb, n))
+        for ib in range(nb):
+            seg = p[ib * TBLOCK:(ib + 1) * TBLOCK]
+            bs.append(seg.size)
+            if seg.size < TBLOCK:
+                seg = np.pad(seg, (0, TBLOCK - seg.size))
+            blocks.append(seg)
+    if not blocks:
+        return np.zeros((0, TBLOCK), np.uint8), np.zeros(0, np.int64), spans
+    return np.stack(blocks), np.asarray(bs, np.int64), spans
+
+
+def _bucket(n: int) -> int:
+    """Round up to a power of two to bound jit recompiles."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def encode_planes(planes, unroll: int = 4) -> list[bytes]:
+    """Encode u8 symbol planes to format-v2 streams on the default device.
+
+    Byte-identical to ``native.encode_plane(p, coder=1)`` per plane.
+    """
+    blocks, bs, spans = _block_batch(planes)
+    nplanes = len(spans)
+    out: list[bytes] = [b""] * nplanes
+    B = blocks.shape[0]
+    if B == 0:
+        return out
+    Bpad = _bucket(B)
+    if Bpad > B:
+        blocks = np.pad(blocks, ((0, Bpad - B), (0, 0)))
+        bs = np.pad(bs, (0, Bpad - B))
+    G = -(-int(bs.max()) // 8)
+    bs_d = jnp.asarray(bs, _I32)
+    freqs, nsym, x_fin, words, emits, nwords = _encode_scan(
+        jnp.asarray(blocks), bs_d, G, unroll)
+    nsym_h = np.asarray(nsym)
+    nwords_h = np.asarray(nwords)
+    multi = nsym_h > 1
+    wlens_h = np.where(multi, nwords_h + 16, 0)
+    total = int(wlens_h.sum())
+    Wcap = _bucket(max(total, 1))
+    stream = np.asarray(_encode_compact(
+        x_fin, words, emits, nsym, bs_d, jnp.asarray(wlens_h, _I32), Wcap))
+    freqs_h = np.asarray(freqs).astype("<u2")
+    offs = np.concatenate([[0], np.cumsum(wlens_h)])
+    for ip, (b0, nb, n) in enumerate(spans):
+        parts = []
+        for ib in range(b0, b0 + nb):
+            parts.append(freqs_h[ib].tobytes())
+            plen = 2 * int(wlens_h[ib])
+            parts.append(np.uint32(plen).astype("<u4").tobytes())
+            if plen:
+                parts.append(
+                    stream[offs[ib]:offs[ib + 1]].astype("<u2").tobytes())
+        out[ip] = b"".join(parts)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Decode: forward scan; per-block slot tables gathered each step.
+# ----------------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(5, 6))
+def _decode_scan(freqs, states, words, wlen, bs, G: int, unroll: int):
+    """Decode a batch of multi-symbol blocks.
+
+    Args:
+      freqs:  (B,256) i32 model (sum 16384 per block).
+      states: (B,8) u32 initial lane states (payload head).
+      words:  (B,W) i32 u16 renorm words (payload tail), zero-padded.
+      wlen:   (B,) i32 word counts.
+      bs:     (B,) i32 symbols per block.
+    Returns syms (B, G*8) u8.
+    """
+    B = freqs.shape[0]
+    cum = jnp.cumsum(freqs, axis=1, dtype=_I32) - freqs  # (B,256) exclusive
+    # symtab[slot] = s  via scatter(+1 at cum[s], s=1..255) then cumsum.
+    row = jnp.broadcast_to(jnp.arange(B, dtype=_I32)[:, None], (B, 255))
+    inc = jnp.zeros((B, PROB_SCALE), _I32).at[row, cum[:, 1:]].add(
+        1, mode="drop")
+    symtab = jnp.cumsum(inc, axis=1, dtype=_I32)  # (B,16384) in [0,255]
+    ftab = jnp.take_along_axis(freqs, symtab, axis=1)
+    ctab = jnp.take_along_axis(cum, symtab, axis=1)
+    slot_iota = jnp.arange(PROB_SCALE, dtype=_I32)[None, :]
+    # packed: freq | (slot - cum[s]) << 16 ; symbol kept separate (u8).
+    t1 = (ftab.astype(_U32)
+          | ((slot_iota - ctab).astype(_U32) << _u32(16)))
+    t2 = symtab.astype(jnp.uint8)
+    lane = jnp.arange(8, dtype=_I32)[None, :]
+    W = words.shape[1]
+
+    def step(carry, g):
+        x, cur = carry
+        slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)
+        e = jnp.take_along_axis(t1, slot, axis=1)
+        s = jnp.take_along_axis(t2, slot, axis=1)
+        f = e & _u32(0xFFFF)
+        offv = e >> _u32(16)
+        active = (g * 8 + lane) < bs[:, None]
+        xn = f * (x >> _u32(PROB_BITS)) + offv
+        need = jnp.logical_and(active, xn < _u32(RANS_L))
+        ni = need.astype(_I32)
+        widx = cur[:, None] + jnp.cumsum(ni, axis=1, dtype=_I32) - ni
+        can = jnp.logical_and(need, widx < wlen[:, None])
+        w = jnp.take_along_axis(words, jnp.clip(widx, 0, W - 1), axis=1)
+        xr = jnp.where(can, (xn << _u32(16)) | w.astype(_U32), xn)
+        x = jnp.where(active, xr, x)
+        cur = cur + jnp.sum(can, axis=1, dtype=_I32)
+        return (x, cur), s
+
+    (_, _), syms = jax.lax.scan(
+        step, (states, jnp.zeros((B,), _I32)),
+        jnp.arange(G, dtype=_I32), unroll=unroll)
+    return syms.transpose(1, 0, 2).reshape(B, G * 8)
+
+
+def _parse_stream(data: bytes, n: int):
+    """Walk a v2 container; split model headers and payloads per block."""
+    mv = memoryview(data)
+    pos = 0
+    blocks = []
+    r = 0
+    while pos < n:
+        bsz = min(TBLOCK, n - pos)
+        freqs = np.frombuffer(mv[r:r + 512], "<u2")
+        r += 512
+        plen = int(np.frombuffer(mv[r:r + 4], "<u4")[0])
+        r += 4
+        payload = mv[r:r + plen]
+        r += plen
+        blocks.append((pos, bsz, freqs, payload))
+        pos += bsz
+    return blocks
+
+
+def decode_planes(streams: list[bytes], ns: list[int],
+                  unroll: int = 4) -> list[np.ndarray]:
+    """Decode format-v2 streams (one per plane) back to u8 symbols.
+
+    Byte-identical to ``native.decode_plane(s, n, coder=1)``.
+    """
+    metas = [(_parse_stream(s, n), n) for s, n in zip(streams, ns)]
+    outs = [np.empty(n, np.uint8) for _, n in metas]
+    # Gather every multi-symbol block across planes into one device batch.
+    batch = []  # (plane, pos, bsz, freqs, payload)
+    for ip, (blocks, _) in enumerate(metas):
+        for pos, bsz, freqs, payload in blocks:
+            if len(payload) == 0:
+                only = int(np.flatnonzero(freqs)[0]) if freqs.any() else 0
+                outs[ip][pos:pos + bsz] = only
+            else:
+                batch.append((ip, pos, bsz, freqs, payload))
+    if not batch:
+        return outs
+    B = len(batch)
+    Bpad = _bucket(B)
+    maxw = max((len(p[4]) - 32) // 2 for p in batch)
+    Wcap = _bucket(max(maxw, 1))
+    freqs_a = np.zeros((Bpad, 256), np.int32)
+    states_a = np.full((Bpad, 8), RANS_L, np.uint32)
+    words_a = np.zeros((Bpad, Wcap), np.int32)
+    wlen_a = np.zeros(Bpad, np.int32)
+    bs_a = np.zeros(Bpad, np.int32)
+    for i, (ip, pos, bsz, freqs, payload) in enumerate(batch):
+        freqs_a[i] = freqs
+        states_a[i] = np.frombuffer(payload[:32], "<u4")
+        nw = (len(payload) - 32) // 2
+        words_a[i, :nw] = np.frombuffer(payload[32:32 + 2 * nw], "<u2")
+        wlen_a[i] = nw
+        bs_a[i] = bsz
+    freqs_a[B:, 0] = PROB_SCALE  # benign model for pad rows
+    G = -(-int(bs_a.max()) // 8)
+    syms = np.asarray(_decode_scan(
+        jnp.asarray(freqs_a), jnp.asarray(states_a), jnp.asarray(words_a),
+        jnp.asarray(wlen_a), jnp.asarray(bs_a), G, unroll))
+    for i, (ip, pos, bsz, _, _) in enumerate(batch):
+        outs[ip][pos:pos + bsz] = syms[i, :bsz]
+    return outs
