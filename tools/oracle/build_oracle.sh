@@ -35,6 +35,27 @@ if [ ! -f wrmssgenc ]; then
   g++ $CXXFLAGS mssg_dec.o ctrl_aux.o wrappers.o waveletcdf97_3d.o rangecod.o -o wrmssgdec
 fi
 
+# flusi CLI — no HDF5 dev headers in the image, so build against a
+# minimal API shim (tools/oracle/hdf5_shim/hdf5.h) and link h5py's
+# bundled libhdf5 runtime directly. ABI is pinned by the interop tests.
+HDF5_LIB=$(ls /opt/venv/lib/python3.12/site-packages/h5py.libs/libhdf5-*.so.* 2>/dev/null | grep -v _hl | head -1)
+SHIM=/root/repo/tools/oracle/hdf5_shim
+if [ -n "$HDF5_LIB" ] && { [ ! -f wrencflusi ] || [ "$SHIM/hdf5.h" -nt wrencflusi ]; }; then
+  # hdf5_interfaces.cpp:389,581 compare a POINTER against 0 ("ntot_enc
+  # > 0" where ntot_enc is unsigned long*) — always true on any real
+  # build, but a hard error for g++ 12. Compile a copy with the
+  # semantically identical "!= NULL" spelling.
+  sed -e 's/if (ntot_enc > 0)/if (ntot_enc != NULL)/' \
+    "$REF/src/flusi/hdf5_interfaces.cpp" > hdf5_interfaces_patched.cpp
+  g++ $CXXFLAGS -I"$SHIM" -I"$REF/src/flusi" -c hdf5_interfaces_patched.cpp -o hdf5_interfaces.o
+  g++ $CXXFLAGS -I"$SHIM" "$REF/src/flusi/main_enc.cpp" hdf5_interfaces.o \
+    wrappers.o waveletcdf97_3d.o rangecod.o "$HDF5_LIB" \
+    -Wl,--disable-new-dtags -Wl,-rpath,"$(dirname "$HDF5_LIB")" -o wrencflusi
+  g++ $CXXFLAGS -I"$SHIM" "$REF/src/flusi/main_dec.cpp" hdf5_interfaces.o \
+    wrappers.o waveletcdf97_3d.o rangecod.o "$HDF5_LIB" \
+    -Wl,--disable-new-dtags -Wl,-rpath,"$(dirname "$HDF5_LIB")" -o wrdecflusi
+fi
+
 # dump harness (our own test tool linking reference objects)
 if [ ! -f dump_harness ] || [ /root/repo/tools/oracle/dump_harness.cc -nt dump_harness ]; then
   g++ $CXXFLAGS /root/repo/tools/oracle/dump_harness.cc \

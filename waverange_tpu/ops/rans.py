@@ -125,7 +125,7 @@ def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
     ssum = jnp.sum(f, axis=1, dtype=_I32)
     maxs = jnp.argmax(counts, axis=1).astype(_I32)  # first max
     deficit = jnp.maximum(PROB_SCALE - ssum, 0)
-    f = f.at[jnp.arange(B), maxs].add(deficit)
+    f = f.at[jnp.arange(B, dtype=_I32), maxs].add(deficit)
     ssum = ssum + deficit
 
     # Steal loop: ≤255 excess (only the 0→1 clamps overshoot), each
@@ -135,9 +135,9 @@ def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
         excess = ssum - PROB_SCALE
         eligible = jnp.where(f > 1, f, 0)
         b = jnp.argmax(eligible, axis=1).astype(_I32)  # first max, freq > 1
-        fb = f[jnp.arange(B), b]
+        fb = f[jnp.arange(B, dtype=_I32), b]
         take = jnp.clip(jnp.minimum(fb - 1, excess), 0)
-        f = f.at[jnp.arange(B), b].add(-take)
+        f = f.at[jnp.arange(B, dtype=_I32), b].add(-take)
         return f, ssum - take
 
     f, _ = jax.lax.fori_loop(0, 255, steal, (f, ssum))
@@ -146,6 +146,13 @@ def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
 
 # ----------------------------------------------------------------------------
 # Encode: one reverse scan over groups of 8 symbols, all blocks at once.
+#
+# Performance shape (measured on v5e): an in-scan table gather re-streams
+# the whole table from HBM every iteration, so the scan body must be pure
+# vector arithmetic.  freq/cum are therefore pre-gathered for EVERY symbol
+# position in one bulk gather (~80 us for 2048 blocks) and packed into one
+# u32 per symbol; per-step operands use an (8, B) layout so the minor axis
+# fills the 128-lane VPU.
 # ----------------------------------------------------------------------------
 @partial(jax.jit, static_argnums=(2, 3))
 def _encode_scan(syms: jax.Array, bs: jax.Array, G: int, unroll: int):
@@ -157,25 +164,27 @@ def _encode_scan(syms: jax.Array, bs: jax.Array, G: int, unroll: int):
       G:    number of 8-symbol groups to process (≥ ceil(max(bs)/8)).
 
     Returns (freqs (B,256) i32, nsym (B,) i32, x_fin (B,8) u32,
-             words (G,B,8) u16, emits (G,B,8) bool, nwords (B,) i32).
+             words (G,8,B) u16, emits (G,8,B) bool, nwords (B,) i32).
     """
     B = syms.shape[0]
     counts = _histogram(syms, bs)
     freqs = _normalize_freqs(counts, bs)
     nsym = jnp.sum(counts > 0, axis=1, dtype=_I32)
     cum = jnp.cumsum(freqs, axis=1, dtype=_I32) - freqs  # exclusive (B,256)
-    freqs_u = freqs.astype(_U32)
-    cum_u = cum.astype(_U32)
+    # Pack freq | cum<<16 (both ≤ 16384) and bulk-gather per position.
+    etab = freqs.astype(_U32) | (cum.astype(_U32) << _u32(16))
+    si = syms[:, : G * 8].astype(_I32)
+    e = jnp.take_along_axis(etab, si, axis=1)          # (B, G*8) u32
+    eg = e.reshape(B, G, 8).transpose(1, 2, 0)          # (G, 8, B)
 
-    sg = syms[:, : G * 8].reshape(B, G, 8).transpose(1, 0, 2)  # (G,B,8)
-    lane = jnp.arange(8, dtype=_I32)[None, :]
+    lane = jnp.arange(8, dtype=_I32)[:, None]           # (8, 1)
+    bsr = bs[None, :]                                   # (1, B)
 
     def step(x, xs):
-        s, g = xs
-        si = s.astype(_I32)
-        f = jnp.take_along_axis(freqs_u, si, axis=1)
-        c = jnp.take_along_axis(cum_u, si, axis=1)
-        active = (g * 8 + lane) < bs[:, None]
+        e, g = xs                                       # e: (8, B) u32
+        f = e & _u32(0xFFFF)
+        c = e >> _u32(16)
+        active = (g * 8 + lane) < bsr
         fs = jnp.maximum(f, _u32(1))  # pads/inactive only; active f ≥ 1
         # Renormalize: emit low u16 while x ≥ f<<18 (wraps to 0 for
         # f = 16384 exactly like the C++ u32 arithmetic; those are
@@ -190,14 +199,14 @@ def _encode_scan(syms: jax.Array, bs: jax.Array, G: int, unroll: int):
         x = jnp.where(active, xn, x)
         return x, (word, emit)
 
-    x0 = jnp.full((B, LANES), RANS_L, _U32)
-    xs = (sg, jnp.arange(G, dtype=_I32))
+    x0 = jnp.full((LANES, B), RANS_L, _U32)
+    xs = (eg, jnp.arange(G, dtype=_I32))
     # rANS encodes from the last symbol backwards; reverse=True also
     # stacks outputs in natural group order = final stream order.
     x_fin, (words, emits) = jax.lax.scan(step, x0, xs, reverse=True,
                                          unroll=unroll)
-    nwords = jnp.sum(emits, axis=(0, 2), dtype=_I32)
-    return freqs, nsym, x_fin, words, emits, nwords
+    nwords = jnp.sum(emits, axis=(0, 1), dtype=_I32)
+    return freqs, nsym, x_fin.T, words, emits, nwords
 
 
 @partial(jax.jit, static_argnums=(6,))
@@ -210,7 +219,7 @@ def _encode_compact(x_fin, words, emits, nsym, bs, wlens, Wcap: int):
     group ascending lane order matches the C++ scalar loop's descending-i
     `*--w` writes and the SIMD compress-store).
     """
-    G, B, _ = words.shape
+    G, _, B = words.shape
     multi = nsym > 1
     off = jnp.cumsum(wlens, dtype=_I32) - wlens  # exclusive prefix
 
@@ -219,8 +228,8 @@ def _encode_compact(x_fin, words, emits, nsym, bs, wlens, Wcap: int):
     st_pos = off[:, None] + jnp.arange(16, dtype=_I32)[None, :]
     st_pos = jnp.where(multi[:, None], st_pos, Wcap)
 
-    wm = words.transpose(1, 0, 2).reshape(B, G * 8)
-    em = emits.transpose(1, 0, 2).reshape(B, G * 8)
+    wm = words.transpose(2, 0, 1).reshape(B, G * 8)
+    em = emits.transpose(2, 0, 1).reshape(B, G * 8)
     pos = off[:, None] + 16 + jnp.cumsum(em, axis=1, dtype=_I32) - 1
     valid = jnp.logical_and(em, multi[:, None])
     pos = jnp.where(valid, pos, Wcap)
