@@ -91,6 +91,62 @@ def test_quantized_field_planes_bitexact():
     assert rans.encode_planes(planes) == layers
 
 
+def test_device_resident_planes_roundtrip():
+    """encode_planes_device / decode_planes_device vs the host-staged
+    paths: identical streams from device-resident planes, identical
+    symbols back, for n both multiple and non-multiple of TBLOCK."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    for n in (65536 * 2, 107520, 4096, 1):
+        planes = np.clip(rng.normal(100, 25, (3, n)), 0, 255).astype(np.uint8)
+        planes[1] = 7  # a single-symbol plane in the middle
+        host = rans.encode_planes(list(planes))
+        dev = rans.encode_planes_device(jnp.asarray(planes), n)
+        assert dev == host
+        syms = np.asarray(rans.decode_planes_device(host, n))
+        assert np.array_equal(syms, planes)
+
+
+def test_full_device_codec_matches_host_entropy():
+    """backend='jax' entropy='device' vs entropy='host': byte-identical
+    streams (same planes feed both coders) and bit-identical decode."""
+    from tests.conftest import smooth_field
+    from waverange_tpu.core import codec
+    a = smooth_field((48, 40, 56))
+    kw = dict(tolrel=1e-10, backend="jax", coder="rans")
+    eh = codec.encode_field(a, **kw)
+    ed = codec.encode_field(a, entropy="device", **kw)
+    assert ed.data == eh.data
+    assert np.array_equal(ed.len_enc_vec, eh.len_enc_vec)
+    assert (ed.tolabs, ed.midval, ed.nlay) == (eh.tolabs, eh.midval, eh.nlay)
+    dh = codec.decode_field(eh, backend="jax")
+    dd = codec.decode_field(eh, backend="jax", entropy="device")
+    assert np.array_equal(dh, dd)
+    assert np.abs(dd - a).max() <= 1.3 * 1e-10 * np.abs(a).max()
+    # cross-decodability: the device-encoded stream through the C++ turbo
+    # decoder (native inverse wavelet differs from XLA's in low bits, so
+    # assert the error contract rather than bit-identity with dh)
+    dn = codec.decode_field(ed, backend="native")
+    assert np.abs(dn - a).max() <= 1.3 * 1e-10 * np.abs(a).max()
+
+
+def test_full_device_codec_trivial_and_single_layer():
+    from waverange_tpu.core import codec
+    const = np.full((8, 8, 8), 3.25)
+    e = codec.encode_field(const, tolrel=1e-3, backend="jax", coder="rans",
+                           entropy="device")
+    assert e.ntot_enc == 0
+    assert np.array_equal(
+        codec.decode_field(e, backend="jax", entropy="device"), const)
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((16, 16, 16))
+    e1 = codec.encode_field(a, tolrel=0.5, backend="jax", coder="rans",
+                            entropy="device")
+    assert e1.nlay == 1
+    d1 = codec.decode_field(e1, backend="jax", entropy="device")
+    assert np.abs(d1 - a).max() <= 0.5 * np.abs(a).max()
+
+
 def test_exact_divmod_exhaustive_edges():
     """The division-free floor(x/f) against numpy over adversarial pairs."""
     import jax.numpy as jnp

@@ -88,7 +88,8 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                  mx: int = 1, my: int = 1, mz: int = 1,
                  backend: str = "native",
                  precision: str = "f64",
-                 coder: str = "range") -> EncodedField:
+                 coder: str = "range",
+                 entropy: str = "host") -> EncodedField:
     """Encode one (nz, ny, nx) field (f64 array or castable).
 
     `tolrel` is the relative tolerance; `cutoff` optionally provides the
@@ -108,9 +109,17 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     31600: 8-lane interleaved rANS — same layered structure and ~equal
     ratio at several times the entropy-stage throughput; NOT readable by
     the reference tools).
+
+    `entropy`: "host" (C++ threads) or "device" (jax backend + rans
+    coder only): the entropy stage runs on the accelerator too, so the
+    whole encode is on-chip and only compressed bytes cross PCIe.
     """
     backend = _resolve_backend(backend)
     cid = coder_id(coder)
+    if entropy == "device" and (backend != "jax" or cid != 1):
+        raise ValueError("entropy='device' requires backend='jax' and "
+                         "coder='rans' (the v2 format is the lane-parallel "
+                         "one; the v1 range coder is sequential)")
     nz, ny, nx = fld.shape
     if cutoff is None:
         cutoff = np.array([tolrel], dtype=np.float64)
@@ -119,7 +128,7 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
         with timed("encode.jax"):
             meta = _encode_jax(fld, tolrel, wtflag=wtflag,
                                keep_dtype=(precision == "native"),
-                               coder=cid)
+                               coder=cid, entropy=entropy)
     elif (precision == "native" and fld.dtype == np.float32
           and mx == my == mz == 1):
         with timed("encode.native.f32"):
@@ -140,11 +149,17 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
         data=meta["data"], coder_version=_VERSION_BY_ID[cid])
 
 
-def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
+def decode_field(enc: EncodedField, backend: str = "native",
+                 entropy: str = "host") -> np.ndarray:
     """Decode to an (nz, ny, nx) f64 array. The entropy coder is chosen
-    by the stream's coder_version (31503 range / 31600 turbo rANS)."""
+    by the stream's coder_version (31503 range / 31600 turbo rANS).
+    `entropy="device"` (jax backend, turbo streams only) runs the entropy
+    stage on the accelerator: only compressed bytes cross PCIe."""
     backend = _resolve_backend(backend)
     cid = coder_id_for_version(enc.coder_version)
+    if entropy == "device" and (backend != "jax" or cid != 1):
+        raise ValueError("entropy='device' requires backend='jax' and a "
+                         "turbo (v2) stream")
     meta = dict(tolabs=enc.tolabs, midval=enc.midval,
                 halfspanval=enc.halfspanval, wlev=enc.wlev, nlay=enc.nlay,
                 ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
@@ -153,7 +168,8 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
     from ..utils import timed
     if backend == "jax":
         with timed("decode.jax"):
-            return _decode_jax(meta, enc.shape_zyx, coder=cid)
+            return _decode_jax(meta, enc.shape_zyx, coder=cid,
+                               entropy=entropy)
     with timed("decode.native"):
         return wn.decode_field(meta, enc.shape_zyx, coder=cid)
 
@@ -163,7 +179,8 @@ def decode_field(enc: EncodedField, backend: str = "native") -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
-                keep_dtype: bool = False, coder: int = 0) -> dict:
+                keep_dtype: bool = False, coder: int = 0,
+                entropy: str = "host") -> dict:
     import jax.numpy as jnp
     from ..ops.quant import encode_step
 
@@ -183,8 +200,15 @@ def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                     deps_vec=np.zeros(NLAYMAX), minval_vec=np.zeros(NLAYMAX),
                     len_enc_vec=np.zeros(NLAYMAX, np.uint64), data=b"")
     nlay_i = int(nlay)
-    planes_np = np.asarray(planes[:nlay_i])  # (nlay, ntot) uint8
-    payload, lens = wn.encode_planes_batch(planes_np, coder=coder)
+    if entropy == "device":
+        from ..ops import rans
+        streams = rans.encode_planes_device(planes[:nlay_i],
+                                            planes.shape[1])
+        payload = b"".join(streams)
+        lens = np.array([len(s) for s in streams], np.uint64)
+    else:
+        planes_np = np.asarray(planes[:nlay_i])  # (nlay, ntot) uint8
+        payload, lens = wn.encode_planes_batch(planes_np, coder=coder)
     deps_vec = np.zeros(NLAYMAX)
     minv_vec = np.zeros(NLAYMAX)
     len_vec = np.zeros(NLAYMAX, np.uint64)
@@ -198,7 +222,8 @@ def _encode_jax(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                 minval_vec=minv_vec, len_enc_vec=len_vec, data=payload)
 
 
-def _decode_jax(meta: dict, shape, coder: int = 0) -> np.ndarray:
+def _decode_jax(meta: dict, shape, coder: int = 0,
+                entropy: str = "host") -> np.ndarray:
     import jax.numpy as jnp
     from ..ops.quant import decode_step
 
@@ -207,10 +232,17 @@ def _decode_jax(meta: dict, shape, coder: int = 0) -> np.ndarray:
     if meta["ntot_enc"] == 0:
         return np.full(shape, meta["midval"])
     nlay = int(meta["nlay"])
-    planes = wn.decode_planes_batch(meta["data"],
-                                    meta["len_enc_vec"][:nlay], n,
-                                    coder=coder)
-    out = decode_step(jnp.asarray(planes),
+    if entropy == "device":
+        from ..ops import rans
+        offs = np.concatenate(
+            [[0], np.cumsum(meta["len_enc_vec"][:nlay])]).astype(int)
+        layers = [bytes(meta["data"][offs[i]:offs[i + 1]])
+                  for i in range(nlay)]
+        planes = rans.decode_planes_device(layers, n)  # stays in HBM
+    else:
+        planes = jnp.asarray(wn.decode_planes_batch(
+            meta["data"], meta["len_enc_vec"][:nlay], n, coder=coder))
+    out = decode_step(planes,
                       jnp.asarray(meta["deps_vec"][:nlay]),
                       jnp.asarray(meta["minval_vec"][:nlay]),
                       shape=(nz, ny, nx), levels=int(meta["wlev"]))

@@ -311,6 +311,64 @@ def encode_planes(planes, unroll: int = 4) -> list[bytes]:
     return out
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _blockify(planes: jax.Array, nb: int, Bpad: int, n: int):
+    """Device-side split of (L, n) planes into (Bpad, TBLOCK) blocks."""
+    L = planes.shape[0]
+    p = jnp.pad(planes, ((0, 0), (0, nb * TBLOCK - n)))
+    blocks = p.reshape(L * nb, TBLOCK)
+    return jnp.pad(blocks, ((0, Bpad - L * nb), (0, 0)))
+
+
+def _plane_bs(L: int, nb: int, n: int, Bpad: int) -> np.ndarray:
+    bs = np.full(L * nb, TBLOCK, np.int64)
+    bs[nb - 1::nb] = n - (nb - 1) * TBLOCK
+    return np.pad(bs, (0, Bpad - L * nb))
+
+
+def encode_planes_device(planes: jax.Array, n: int,
+                         unroll: int = 4) -> list[bytes]:
+    """Encode device-resident (L, n) u8 planes to format-v2 streams.
+
+    Same streams as ``encode_planes`` / ``native.encode_plane(p, coder=1)``
+    but the symbols never touch the host: blocks are built on device and
+    only the compressed words + per-block models are downloaded.
+    """
+    L = planes.shape[0]
+    if n == 0 or L == 0:
+        return [b""] * L
+    nb = -(-n // TBLOCK)
+    B = L * nb
+    Bpad = _bucket(B)
+    bs = _plane_bs(L, nb, n, Bpad)
+    blocks = _blockify(planes, nb, Bpad, n)
+    G = -(-int(bs.max()) // 8)
+    bs_d = jnp.asarray(bs, _I32)
+    freqs, nsym, x_fin, words, emits, nwords = _encode_scan(
+        blocks, bs_d, G, unroll)
+    nsym_h = np.asarray(nsym)
+    nwords_h = np.asarray(nwords)
+    wlens_h = np.where(nsym_h > 1, nwords_h + 16, 0)
+    total = int(wlens_h.sum())
+    Wcap = _bucket(max(total, 1))
+    stream = np.asarray(_encode_compact(
+        x_fin, words, emits, nsym, bs_d, jnp.asarray(wlens_h, _I32), Wcap))
+    freqs_h = np.asarray(freqs).astype("<u2")
+    offs = np.concatenate([[0], np.cumsum(wlens_h)])
+    out = []
+    for ip in range(L):
+        parts = []
+        for ib in range(ip * nb, (ip + 1) * nb):
+            parts.append(freqs_h[ib].tobytes())
+            plen = 2 * int(wlens_h[ib])
+            parts.append(np.uint32(plen).astype("<u4").tobytes())
+            if plen:
+                parts.append(
+                    stream[offs[ib]:offs[ib + 1]].astype("<u2").tobytes())
+        out.append(b"".join(parts))
+    return out
+
+
 # ----------------------------------------------------------------------------
 # Decode: forward scan; per-block slot tables gathered each step.
 # ----------------------------------------------------------------------------
@@ -387,42 +445,79 @@ def _parse_stream(data: bytes, n: int):
     return blocks
 
 
+def _parse_to_batch(streams: list[bytes], ns: list[int]):
+    """Parse v2 containers into padded device-upload arrays.
+
+    Single-symbol (empty-payload) blocks are included with their model,
+    zero words, and lane states at RANS_L: the decode scan then yields the
+    model's only symbol every step with no renormalization, so one uniform
+    device batch covers every block kind.
+    """
+    batch = []  # (plane, pos, bsz, freqs, payload)
+    for ip, (s, n) in enumerate(zip(streams, ns)):
+        for pos, bsz, freqs, payload in _parse_stream(s, n):
+            batch.append((ip, pos, bsz, freqs, payload))
+    B = len(batch)
+    Bpad = _bucket(max(B, 1))
+    maxw = max((max(len(p[4]) - 32, 0)) // 2 for p in batch) if batch else 0
+    Wcap = _bucket(max(maxw, 1))
+    freqs_a = np.zeros((Bpad, 256), np.int32)
+    states_a = np.full((Bpad, 8), RANS_L, np.uint32)
+    words_a = np.zeros((Bpad, Wcap), np.uint16)
+    wlen_a = np.zeros(Bpad, np.int32)
+    bs_a = np.zeros(Bpad, np.int32)
+    for i, (ip, pos, bsz, freqs, payload) in enumerate(batch):
+        freqs_a[i] = freqs
+        bs_a[i] = bsz
+        if len(payload):
+            states_a[i] = np.frombuffer(payload[:32], "<u4")
+            nw = (len(payload) - 32) // 2
+            words_a[i, :nw] = np.frombuffer(payload[32:32 + 2 * nw], "<u2")
+            wlen_a[i] = nw
+    freqs_a[B:, 0] = PROB_SCALE  # benign model for pad rows
+    return batch, freqs_a, states_a, words_a, wlen_a, bs_a
+
+
+def decode_planes_device(streams: list[bytes], n: int,
+                         unroll: int = 4) -> jax.Array:
+    """Decode L same-length v2 streams to a device-resident (L, n) u8.
+
+    Device mirror of ``encode_planes_device``: only the compressed words
+    and per-block models are uploaded; the symbol planes stay in HBM for
+    the accumulate/inverse-wavelet stage.
+    """
+    L = len(streams)
+    batch, freqs_a, states_a, words_a, wlen_a, bs_a = _parse_to_batch(
+        streams, [n] * L)
+    assert all(b[0] * (-(-n // TBLOCK)) + (b[1] // TBLOCK) == i
+               for i, b in enumerate(batch)), "blocks not plane-major"
+    nb = -(-n // TBLOCK)
+    G = -(-int(bs_a.max()) // 8)
+    syms = _decode_scan(
+        jnp.asarray(freqs_a), jnp.asarray(states_a), jnp.asarray(words_a),
+        jnp.asarray(wlen_a), jnp.asarray(bs_a), G, unroll)
+    return _deblockify(syms, L, nb, n)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _deblockify(syms: jax.Array, L: int, nb: int, n: int):
+    W8 = syms.shape[1]
+    if W8 < TBLOCK:
+        syms = jnp.pad(syms, ((0, 0), (0, TBLOCK - W8)))
+    return syms[:L * nb, :TBLOCK].reshape(L, nb * TBLOCK)[:, :n]
+
+
 def decode_planes(streams: list[bytes], ns: list[int],
                   unroll: int = 4) -> list[np.ndarray]:
     """Decode format-v2 streams (one per plane) back to u8 symbols.
 
     Byte-identical to ``native.decode_plane(s, n, coder=1)``.
     """
-    metas = [(_parse_stream(s, n), n) for s, n in zip(streams, ns)]
-    outs = [np.empty(n, np.uint8) for _, n in metas]
-    # Gather every multi-symbol block across planes into one device batch.
-    batch = []  # (plane, pos, bsz, freqs, payload)
-    for ip, (blocks, _) in enumerate(metas):
-        for pos, bsz, freqs, payload in blocks:
-            if len(payload) == 0:
-                only = int(np.flatnonzero(freqs)[0]) if freqs.any() else 0
-                outs[ip][pos:pos + bsz] = only
-            else:
-                batch.append((ip, pos, bsz, freqs, payload))
+    outs = [np.empty(n, np.uint8) for n in ns]
+    batch, freqs_a, states_a, words_a, wlen_a, bs_a = _parse_to_batch(
+        streams, ns)
     if not batch:
         return outs
-    B = len(batch)
-    Bpad = _bucket(B)
-    maxw = max((len(p[4]) - 32) // 2 for p in batch)
-    Wcap = _bucket(max(maxw, 1))
-    freqs_a = np.zeros((Bpad, 256), np.int32)
-    states_a = np.full((Bpad, 8), RANS_L, np.uint32)
-    words_a = np.zeros((Bpad, Wcap), np.int32)
-    wlen_a = np.zeros(Bpad, np.int32)
-    bs_a = np.zeros(Bpad, np.int32)
-    for i, (ip, pos, bsz, freqs, payload) in enumerate(batch):
-        freqs_a[i] = freqs
-        states_a[i] = np.frombuffer(payload[:32], "<u4")
-        nw = (len(payload) - 32) // 2
-        words_a[i, :nw] = np.frombuffer(payload[32:32 + 2 * nw], "<u2")
-        wlen_a[i] = nw
-        bs_a[i] = bsz
-    freqs_a[B:, 0] = PROB_SCALE  # benign model for pad rows
     G = -(-int(bs_a.max()) // 8)
     syms = np.asarray(_decode_scan(
         jnp.asarray(freqs_a), jnp.asarray(states_a), jnp.asarray(words_a),
