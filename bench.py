@@ -159,8 +159,158 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
                 nbytes_out=nbytes_out, err=max(errs), nlay=None)
 
 
-def bench_reference(fld, tol, workdir):
-    """Time the locally built reference wrenc on the same data."""
+def bench_tpu_full(fld, tol, n_blocks=8):
+    """Fully on-device pipeline: wavelet + quantize + rANS entropy all on
+    the accelerator; only compressed bytes cross the host link (divided
+    z-slab layout). Also reports on-chip compute-only rates (the numbers
+    that matter on real TPU hosts, where the link is local DMA, not a
+    tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    from waverange_tpu.ops import rans
+    from waverange_tpu.ops.quant import _encode_step_impl, decode_step
+
+    nz = fld.shape[0]
+    assert nz % n_blocks == 0
+    slabs = np.split(fld, n_blocks, axis=0)
+    n = slabs[0].size
+    dtype = jnp.float64
+    consts = (jnp.asarray(tol, dtype), jnp.asarray(1.75, dtype),
+              jnp.asarray(255.0, dtype))
+    from functools import partial
+    step = jax.jit(partial(_encode_step_impl, wtflag=True, levels=4))
+
+    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "420"))
+    log(f"  compiling device pipeline (budget {budget:.0f}s)...")
+    done = []
+
+    def _warm():
+        x = jnp.asarray(slabs[0])
+        out = step(x, *consts)
+        nlay = int(out[3])
+        streams = rans.encode_planes_device(out[0][:nlay], n)
+        _ = rans.decode_planes_device(streams, n)
+        done.append((x, out, nlay, streams))
+
+    import threading
+    wt = threading.Thread(target=_warm, daemon=True)
+    wt.start()
+    wt.join(budget)
+    if not done:
+        raise TimeoutError(f"device warm-up exceeded {budget:.0f}s")
+    x_w, out_w, nlay_w, streams_w = done[0]
+
+    # --- on-chip compute-only rates (device-resident inputs/outputs) ---
+    comp = {}
+    t0 = time.time()
+    jax.block_until_ready(step(x_w, *consts))
+    comp["step_s"] = time.time() - t0
+    planes_w = out_w[0][:nlay_w]
+    t0 = time.time()
+    s2 = rans.encode_planes_device(planes_w, n)
+    comp["rans_enc_s"] = time.time() - t0  # incl. compressed download
+    t0 = time.time()
+    jax.block_until_ready(rans.decode_planes_device(streams_w, n))
+    comp["rans_dec_s"] = time.time() - t0  # incl. compressed upload
+    dstep = jax.jit(partial(decode_step, shape=slabs[0].shape, levels=4))
+    deps_w, minv_w = out_w[1][:nlay_w], out_w[2][:nlay_w]
+    pl_dev = rans.decode_planes_device(streams_w, n)
+    jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
+    t0 = time.time()
+    jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
+    comp["dstep_s"] = time.time() - t0
+    slab_gb = slabs[0].nbytes / 1e9
+    log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs (%.2f GB/s), "
+        "rans dec %.3fs (%.2f GB/s), decode step %.3fs" % (
+            f"{slabs[0].shape}", comp["step_s"], comp["rans_enc_s"],
+            slab_gb / comp["rans_enc_s"], comp["rans_dec_s"],
+            slab_gb / comp["rans_dec_s"], comp["dstep_s"]))
+
+    # --- end-to-end encode: upload raw, download compressed only ---
+    results = [None] * n_blocks
+    t0 = time.time()
+    for k in range(n_blocks):
+        out = step(jnp.asarray(slabs[k]), *consts)
+        nlay = int(out[3])
+        streams = rans.encode_planes_device(out[0][:nlay], n)
+        results[k] = (streams, np.asarray(out[1][:nlay]),
+                      np.asarray(out[2][:nlay]), float(out[4]),
+                      float(out[5]), float(out[6]))
+    enc_t = time.time() - t0
+    nbytes_out = sum(len(s) for r in results for s in r[0])
+
+    # --- end-to-end decode: upload compressed, download the field ---
+    t0 = time.time()
+    errs = []
+    for k, (streams, deps, minv, tolabs, mid, half) in enumerate(results):
+        pl = rans.decode_planes_device(streams, n)
+        rec = np.asarray(dstep(pl, jnp.asarray(deps), jnp.asarray(minv)))
+        errs.append(float(np.abs(rec - slabs[k]).max()))
+    dec_t = time.time() - t0
+    return dict(encode_s=enc_t, decode_s=dec_t, nbytes_in=fld.nbytes,
+                nbytes_out=nbytes_out, err=max(errs), nlay=None,
+                onchip=comp)
+
+
+def verify_on_chip(fld, tol):
+    """WR_BENCH_VERIFY=1: assert on real hardware what the tests pin on
+    the CPU backend — on-chip rANS streams byte-identical to the C++
+    turbo coder, device round-trip symbol-exact, Pallas f32 kernels
+    bit-identical to XLA — and measure the device-f64 error envelope."""
+    import jax
+    import jax.numpy as jnp
+    from waverange_tpu import native as wn
+    from waverange_tpu.core import codec
+    from waverange_tpu.ops import rans
+    from waverange_tpu.ops.quant import encode_step
+
+    sub = fld[:128, :128, :128]
+    n = sub.size
+    out = encode_step(jnp.asarray(sub), jnp.asarray(tol, jnp.float64))
+    nlay = int(out[3])
+    planes_dev = out[0][:nlay]
+    planes_host = np.asarray(planes_dev)
+    dev_streams = rans.encode_planes_device(planes_dev, n)
+    cpp_streams = [wn.encode_plane(p, coder=1) for p in planes_host]
+    assert dev_streams == cpp_streams, "on-chip rANS != C++ turbo coder"
+    back = np.asarray(rans.decode_planes_device(dev_streams, n))
+    assert np.array_equal(back, planes_host), "on-chip rANS round trip"
+    log(f"  verify: on-chip rANS byte-identical to C++ coder "
+        f"({nlay} layers, {sum(len(s) for s in dev_streams)} bytes)")
+
+    # Pallas f32 kernels vs XLA on chip
+    from waverange_tpu.ops.wavelet import cdf97_forward, cdf97_inverse
+    try:
+        from waverange_tpu.ops.wavelet_pallas import (
+            cdf97_forward_pallas, cdf97_inverse_pallas)
+        a32 = jnp.asarray(sub, jnp.float32)
+        fx = jax.jit(lambda x: cdf97_forward(x, 4))(a32)
+        fp = jax.jit(lambda x: cdf97_forward_pallas(x, 4))(a32)
+        assert np.array_equal(np.asarray(fx), np.asarray(fp)), \
+            "Pallas forward wavelet != XLA on chip"
+        ix = jax.jit(lambda x: cdf97_inverse(x, 4))(fx)
+        ip = jax.jit(lambda x: cdf97_inverse_pallas(x, 4))(fx)
+        assert np.array_equal(np.asarray(ix), np.asarray(ip)), \
+            "Pallas inverse wavelet != XLA on chip"
+        log("  verify: Pallas f32 wavelet fwd/inv bit-identical to XLA")
+    except ImportError:
+        log("  verify: Pallas kernels unavailable, skipped")
+
+    # device-f64 error envelope across tolerances (emulated f64 floor)
+    env = {}
+    for t in (1e-4, 1e-7, 1e-10, 1e-13, 1e-16):
+        e = codec.encode_field(sub, t, backend="jax", coder="rans",
+                               entropy="device")
+        d = codec.decode_field(e, backend="jax", entropy="device")
+        rel = float(np.abs(d - sub).max() / np.abs(sub).max())
+        env[f"{t:g}"] = rel
+        log(f"  verify: device f64 envelope tol {t:g} -> rel err {rel:.3e}"
+            f" ({'PASS' if rel <= 1.3 * t else 'floor-limited'})")
+    return env
+
+
+def bench_reference(fld, tol, workdir, decode=False):
+    """Time the locally built reference wrenc (and optionally wrdec)."""
     oracle = REPO / "build" / "oracle" / "wrenc"
     if not oracle.exists():
         try:
@@ -184,7 +334,15 @@ def bench_reference(fld, tol, workdir):
         log(f"  reference wrenc failed rc={r.returncode}")
         return None
     out_size = (workdir / "bench.wrb").stat().st_size
-    return dict(encode_s=dt, nbytes_in=fld.nbytes, nbytes_out=out_size)
+    res = dict(encode_s=dt, nbytes_in=fld.nbytes, nbytes_out=out_size)
+    if decode:
+        dargs = [str(REPO / "build" / "oracle" / "wrdec"), "bench.wrb",
+                 "bench.wrh", "benchrec.bin", "2", "0"]
+        t0 = time.time()
+        rd = subprocess.run(dargs, cwd=workdir, capture_output=True)
+        if rd.returncode == 0:
+            res["decode_s"] = time.time() - t0
+    return res
 
 
 def main():
@@ -210,12 +368,14 @@ def main():
             rn["decode_s"] = min(rn["decode_s"], r["decode_s"])
         log(f"  encode {r['encode_s']:.2f}s decode {r['decode_s']:.2f}s")
         if not skip_ref:
-            log(f"pair {k+1}/{pairs}: reference wrenc...")
-            rr = bench_reference(fld, tol, REPO / "build" / "bench")
+            log(f"pair {k+1}/{pairs}: reference wrenc+wrdec...")
+            rr = bench_reference(fld, tol, REPO / "build" / "bench",
+                                 decode=True)
             if rr and (ref is None or rr["encode_s"] < ref["encode_s"]):
                 ref = rr
             if rr:
-                log(f"  encode {rr['encode_s']:.2f}s")
+                log(f"  encode {rr['encode_s']:.2f}s decode "
+                    f"{rr.get('decode_s', float('nan')):.2f}s")
     log(f"native best: encode {rn['encode_s']:.2f}s "
         f"({gib/rn['encode_s']:.3f} GB/s), decode {rn['decode_s']:.2f}s, "
         f"ratio {rn['nbytes_out']/rn['nbytes_in']:.3f}, err {rn['err']:.2e}")
@@ -230,12 +390,14 @@ def main():
             f"err {rturbo['err']:.2e}")
     if ref:
         log(f"reference best: encode {ref['encode_s']:.2f}s "
-            f"({gib/ref['encode_s']:.3f} GB/s), ratio "
+            f"({gib/ref['encode_s']:.3f} GB/s), decode "
+            f"{ref.get('decode_s', float('nan')):.2f}s, ratio "
             f"{ref['nbytes_out']/ref['nbytes_in']:.3f}")
 
-    # tpu hybrid path LAST: its warm-up thread cannot be cancelled if the
+    # tpu paths LAST: their warm-up threads cannot be cancelled if the
     # watchdog fires, and must not contaminate the host measurements.
-    rt = None
+    rt = rf = None
+    verify_env = None
     if os.environ.get("WR_BENCH_SKIP_TPU") != "1":
         try:
             import jax
@@ -244,26 +406,110 @@ def main():
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               1.0)
-            log(f"tpu-hybrid pipeline on {jax.devices()[0].device_kind}...")
-            rt = bench_tpu_hybrid(fld, tol)
-            log(f"  encode {rt['encode_s']:.2f}s "
-                f"({gib/rt['encode_s']:.3f} GB/s), decode "
-                f"{rt['decode_s']:.2f}s, ratio "
-                f"{rt['nbytes_out']/rt['nbytes_in']:.3f}, "
-                f"err {rt['err']:.2e}")
+            kind = jax.devices()[0].device_kind
+            if os.environ.get("WR_BENCH_VERIFY") == "1":
+                log(f"on-chip verification on {kind}...")
+                verify_env = verify_on_chip(fld, tol)
+            log(f"tpu-full pipeline on {kind}...")
+            rf = bench_tpu_full(fld, tol)
+            log(f"  encode {rf['encode_s']:.2f}s "
+                f"({gib/rf['encode_s']:.3f} GB/s), decode "
+                f"{rf['decode_s']:.2f}s ({gib/rf['decode_s']:.3f} GB/s), "
+                f"ratio {rf['nbytes_out']/rf['nbytes_in']:.3f}, "
+                f"err {rf['err']:.2e}")
         except Exception as e:
-            log(f"  tpu-hybrid failed: {type(e).__name__}: {e}")
+            log(f"  tpu-full failed: {type(e).__name__}: {e}")
+        if os.environ.get("WR_BENCH_SKIP_HYBRID") != "1":
+            try:
+                log("tpu-hybrid pipeline...")
+                rt = bench_tpu_hybrid(fld, tol)
+                log(f"  encode {rt['encode_s']:.2f}s "
+                    f"({gib/rt['encode_s']:.3f} GB/s), decode "
+                    f"{rt['decode_s']:.2f}s, ratio "
+                    f"{rt['nbytes_out']/rt['nbytes_in']:.3f}, "
+                    f"err {rt['err']:.2e}")
+            except Exception as e:
+                log(f"  tpu-hybrid failed: {type(e).__name__}: {e}")
 
-    best = min((r for r in (rn, rt) if r), key=lambda r: r["encode_s"])
+    best = min((r for r in (rn, rt, rf) if r), key=lambda r: r["encode_s"])
     value = gib / best["encode_s"]
     vs = (ref["encode_s"] / best["encode_s"]) if ref else None
-    print(json.dumps({
+    line = {
         "metric": f"encode GB/s, {n}^3 f64 @tol {tol:g} (1 chip + host)",
         "value": round(value, 4),
         "unit": "GB/s",
         "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    }
+    if ref and ref.get("decode_s") and rn:
+        line["decode_vs_baseline"] = round(
+            ref["decode_s"] / rn["decode_s"], 3)
+    if verify_env is not None:
+        line["verified_on_chip"] = True
+    print(json.dumps(line))
+    return dict(native=rn, ref=ref, tpu_full=rf, tpu_hybrid=rt,
+                verify_env=verify_env, gib=gib, n=n, tol=tol)
+
+
+def scaling_report():
+    """--scaling: emit the BASELINE-required table into SCALING.md."""
+    os.environ.setdefault("WR_BENCH_PAIRS", "2")
+    res = main()
+    rn, ref, rf = res["native"], res["ref"], res["tpu_full"]
+    gib = res["gib"]
+    lines = [
+        "# Scaling report (auto-generated by `python bench.py --scaling`)",
+        "",
+        f"Config: {res['n']}^3 f64, tol {res['tol']:g}. Environment: "
+        "2-vCPU host + one TPU v5e behind the axon tunnel "
+        "(~0.25 GB/s effective; real TPU hosts use local DMA and "
+        "~100-200 CPU cores).",
+        "",
+        "| scale | pipeline | encode GB/s | decode GB/s | vs reference |",
+        "|---|---|---|---|---|",
+    ]
+
+    def row(scale, name, r):
+        if not r:
+            return
+        enc = gib / r["encode_s"]
+        dec = gib / r["decode_s"] if r.get("decode_s") else float("nan")
+        vs = f"{ref['encode_s']/r['encode_s']:.2f}x" if ref else "—"
+        lines.append(f"| {scale} | {name} | {enc:.3f} | {dec:.3f} | {vs} |")
+
+    row("1 host (2 cores)", "native C++ (range coder)", rn)
+    row("1 host (1 core)", "reference wrenc/wrdec", ref)
+    row("1 chip + host", "tpu-full (device rANS)", rf)
+    if rf and rf.get("onchip"):
+        c = rf["onchip"]
+        slab_gb = gib / 8
+        lines += [
+            "",
+            "On-chip compute-only (per 1/8 slab, device-resident data): "
+            f"transform+quantize {c['step_s']:.3f}s, rANS encode "
+            f"{slab_gb/c['rans_enc_s']:.2f} GB/s, rANS decode "
+            f"{slab_gb/c['rans_dec_s']:.2f} GB/s, accumulate+inverse "
+            f"{c['dstep_s']:.3f}s.",
+        ]
+    lines += [
+        "",
+        "| scale | status |",
+        "|---|---|",
+        "| N hosts (DCN) | unavailable in this environment (single host; "
+        "multi-process path tested 2-process on CPU backend in "
+        "tests/test_distributed_multiprocess.py) |",
+        "| N chips (ICI) | unavailable (one chip via tunnel; sharded "
+        "paths validated on an 8-device CPU mesh, "
+        "tests/test_parallel.py) |",
+        "",
+        "Per-component ceilings and the v5p-16 projection live in "
+        "PERFORMANCE.md.",
+    ]
+    (REPO / "SCALING.md").write_text("\n".join(lines) + "\n")
+    log("wrote SCALING.md")
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_report()
+    else:
+        main()

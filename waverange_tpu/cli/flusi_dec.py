@@ -30,10 +30,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         out_name = ask("Enter reconstructed file name []: ")
         bar = ask("Enter file type (0: regular output; 1: backup) [0]: ",
                   "0")
+        # effective reference default is FLOAT: the prompt advertises [2]
+        # but main_dec.cpp:70 initializes iouttype = 1 and an empty line
+        # leaves it unchanged.
         bar2 = ask("Enter output data type (1: float; 2: double) [2]: ",
-                   "2")
+                   "1")
     decode_flusi_file(in_name, out_name, int(bar or 0),
-                      iouttype=int(bar2 or 2), backend=backend)
+                      iouttype=int(bar2 or 1), backend=backend)
     print("=== End of decompression ===")
     return 0
 

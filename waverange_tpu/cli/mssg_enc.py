@@ -4,6 +4,14 @@ Modes: `inmeta` file (&prefix_name/&ext_name/&file_type/&input_data_type/
 &endian_conversion/&tolerance/&id_of_proc or old 7-line positional),
 7 positional argv (PREFIX EXT TYPE PRECISION ENDIANFLIP TOLERANCE PROCID),
 or stdin prompts. MSSG endian conversion defaults ON.
+
+Default semantics mirror the reference exactly: the ".enc" extension
+default (mssg_enc.cpp:102 initializer) survives only when the value is
+ABSENT (missing &ext_name key / old-format file shorter than 2 lines) —
+a present-but-empty line clobbers it via getline, so an empty stdin or
+old-format answer means extension "" and files named `prefix_h`/
+`prefix_f`. Numeric fields keep their defaults on empty input
+(stringstream >> is a no-op on "").
 """
 from __future__ import annotations
 
@@ -32,7 +40,8 @@ def _parse_inmeta(path: str):
                 kv.get("&endian_conversion", ""), kv.get("&tolerance", ""),
                 kv.get("&id_of_proc", ""))
     g = lambda i: lines[i] if i < len(lines) else ""
-    return g(0), g(1) or ".enc", g(2), g(3), g(4), g(5), g(6)
+    ext = lines[1] if len(lines) > 1 else ".enc"  # absent line keeps default
+    return g(0), ext, g(2), g(3), g(4), g(5), g(6)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -53,14 +62,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             return line if line else d
 
         prefix = ask("Enter data file name prefix []: ")
-        ext = ask("Enter encoded file extension name [.enc]: ", ".enc")
+        # verbatim, even empty: getline clobbers the .enc initializer
+        ext = ask("Enter encoded file extension name [.enc]: ")
         bar = ask("Enter file type (0/1/2) [0]: ", "0")
         bar2 = ask("Enter input data type (1: float; 2: double) [2]: ", "2")
         bar3 = ask("Enter endian conversion (0/1) [1]: ", "1")
         bar4 = ask("Enter base cutoff relative tolerance [1e-16]: ",
                    "1e-16")
         bar5 = ask("Enter id of this proc [0]: ", "0")
-    encode_mssg(prefix, ext or ".enc", int(bar or 0), int(bar2 or 2),
+    encode_mssg(prefix, ext, int(bar or 0), int(bar2 or 2),
                 bool(int(bar3 or 1)), float(bar4 or 1e-16), int(bar5 or 0),
                 backend=backend, coder=coder)
     print("=== End of compression ===")

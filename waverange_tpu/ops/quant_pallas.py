@@ -20,8 +20,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# i32 zero for BlockSpec index maps: literal 0 canonicalizes
+# to i64 under jax_enable_x64 and Mosaic rejects the mixed
+# (i32, i64, ...) index tuple (failed to legalize func.return).
+_Z = np.int32(0)
 
 NLAYMAX = 8
 _LANES = 1024       # flattened-field row width
@@ -74,18 +80,18 @@ def _quant_layer_call(fld, scalars):
             jax.ShapeDtypeStruct((grid * 8, 128), fld.dtype),
         ),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((tr, lanes), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tr, lanes), lambda i: (i, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8), lambda i: (0, 0),
+                  pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((tr, lanes), lambda i: (i, 0),
+            pl.BlockSpec((tr, lanes), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, lanes), lambda i: (i, 0),
+            pl.BlockSpec((tr, lanes), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((8, 128), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
         ),
     )(fld, scalars)
@@ -128,11 +134,11 @@ def accumulate_layers_pallas(planes: jax.Array, deps: jax.Array,
         _accum_kernel,
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), dtype),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((nlay, tr, _LANES), lambda i: (0, i, 0),
+        in_specs=[pl.BlockSpec((nlay, tr, _LANES), lambda i: (_Z, i, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((nlay, 128), lambda i: (0, 0),
+                  pl.BlockSpec((nlay, 128), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tr, _LANES), lambda i: (i, _Z),
                                memory_space=pltpu.VMEM),
     )(p3, dm)
     return out.reshape(n)

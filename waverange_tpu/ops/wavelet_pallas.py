@@ -29,6 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# i32 zero for BlockSpec index maps: literal 0 canonicalizes
+# to i64 under jax_enable_x64 and Mosaic rejects the mixed
+# (i32, i64, ...) index tuple (failed to legalize func.return).
+_Z = np.int32(0)
+
 from .wavelet import (L0, L1, L2, L3, SCALE, SCALE_INV, _halve,
                       cdf97_forward as _xla_forward)
 
@@ -104,11 +109,11 @@ def lift_x_pallas(x: jax.Array, rows_per_tile: int = 256) -> jax.Array:
         _lift_x_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(rows // rt,),
-        in_specs=[pl.BlockSpec((rt, n), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rt, n), lambda i: (i, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n, n), lambda i: (0, 0),
+                  pl.BlockSpec((n, n), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rt, n), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rt, n), lambda i: (i, _Z),
                                memory_space=pltpu.VMEM),
     )(x, P)
 
@@ -134,13 +139,13 @@ def lift_xy_pallas(x: jax.Array) -> jax.Array:
         _lift_xy_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(nz,),
-        in_specs=[pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, ny, nx), lambda i: (i, _Z, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((nx, nx), lambda i: (0, 0),
+                  pl.BlockSpec((nx, nx), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((ny, ny), lambda i: (0, 0),
+                  pl.BlockSpec((ny, ny), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, _Z, _Z),
                                memory_space=pltpu.VMEM),
     )(x, Px, Pyt)
 
@@ -207,13 +212,13 @@ def inv_lift_yx_pallas(x: jax.Array) -> jax.Array:
         _inv_yx_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(nz,),
-        in_specs=[pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, ny, nx), lambda i: (i, _Z, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((ny, ny), lambda i: (0, 0),
+                  pl.BlockSpec((ny, ny), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((nx, nx), lambda i: (0, 0),
+                  pl.BlockSpec((nx, nx), lambda i: (_Z, _Z),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, _Z, _Z),
                                memory_space=pltpu.VMEM),
     )(x, Pzy, Pzx)
 

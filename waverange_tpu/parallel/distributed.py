@@ -7,8 +7,9 @@ each host encodes the fields/subdomains whose data it holds, and the
 host-side writer concatenates the variable-length streams in original
 file order (rank-ordered exchange over the JAX process group).
 
-Untestable in this environment (single host, one chip); kept minimal
-and structured so the single-host path is the degenerate case.
+Tested for real with 2 OS processes on the CPU backend (localhost
+coordinator) in tests/test_distributed_multiprocess.py; the single-host
+path is the degenerate case.
 """
 from __future__ import annotations
 
