@@ -19,6 +19,26 @@ def test_error_control_sweep(tol):
     assert err <= 1.3 * tol * np.abs(a).max()
 
 
+@pytest.mark.parametrize("tol", [1e-2, 1e-4, 1e-6, 1e-8, 1e-10, 1e-12])
+@pytest.mark.parametrize("entropy", ["host", "device"])
+def test_error_control_sweep_jax_backend(tol, entropy):
+    """Device-path mirror of the sweep (VERDICT r1 item 4): the jax
+    backend must satisfy the same error contract at every tolerance.
+    On the CPU backend x64 is true IEEE f64, so this pins the XLA
+    pipeline's contract exactly; the TPU-emulated-f64 envelope is
+    measured separately on hardware (bench.py WR_BENCH_VERIFY, floor
+    ~1.3e-13 relative — PERFORMANCE.md)."""
+    a = smooth_field((40, 36, 32))
+    a = a + 0.02 * np.abs(a).max() * \
+        np.random.default_rng(7).standard_normal(a.shape)
+    coder = "rans" if entropy == "device" else "range"
+    e = codec.encode_field(a, tol, backend="jax", coder=coder,
+                           entropy=entropy)
+    r = codec.decode_field(e, backend="jax", entropy=entropy)
+    err = np.abs(r - a).max()
+    assert err <= 1.3 * tol * np.abs(a).max()
+
+
 def test_monotone_size_vs_tolerance():
     a = smooth_field((32, 32, 32))
     sizes = [codec.encode_field(a, t, backend="native").ntot_enc

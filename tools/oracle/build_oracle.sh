@@ -62,4 +62,19 @@ if [ ! -f dump_harness ] || [ /root/repo/tools/oracle/dump_harness.cc -nt dump_h
     wrappers.o waveletcdf97_3d.o rangecod.o -o dump_harness
 fi
 
+# STOCK build: the reference's own config.mk flags (no -ffp-contract
+# flag -> gcc default "fast", so the compiler may contract FMAs in the
+# codec's accumulate/lifting loops). Used only to MEASURE how a stock
+# reference build deviates from the ISO-semantics oracle
+# (tests/test_stock_conformance.py); the ISO build stays normative.
+STOCK_CFLAGS="-Wall -O2 -ftree-vectorize -fomit-frame-pointer -funroll-loops -march=native"
+STOCK_CXXFLAGS="-Wall -O2 -ftree-vectorize -D__STDC_LIMIT_MACROS -march=native"
+if [ ! -f dump_harness_stock ] || [ /root/repo/tools/oracle/dump_harness.cc -nt dump_harness_stock ]; then
+  gcc $STOCK_CFLAGS -c "$REF/src/rangecod/rangecod.c" -o rangecod_stock.o
+  gcc $STOCK_CFLAGS -c "$REF/src/waveletcdf97_3d/waveletcdf97_3d.c" -o waveletcdf97_3d_stock.o
+  g++ $STOCK_CXXFLAGS -c "$REF/src/core/wrappers.cpp" -o wrappers_stock.o
+  g++ $STOCK_CXXFLAGS /root/repo/tools/oracle/dump_harness.cc \
+    wrappers_stock.o waveletcdf97_3d_stock.o rangecod_stock.o -o dump_harness_stock
+fi
+
 echo "oracle built in $OUT"

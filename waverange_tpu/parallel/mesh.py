@@ -180,7 +180,9 @@ def decode_fields_sharded(encs: Sequence[EncodedField],
         xs = jax.device_put(xs, sh)
     fn = jax.jit(jax.vmap(partial(decode_step, shape=(nz, ny, nx),
                                   levels=WAV_LVL)))
-    out = np.asarray(fn(xs, jnp.asarray(deps), jnp.asarray(minv)))[:B]
+    # np.array (not asarray): device arrays view as read-only and the
+    # trivial/wlev==0 branches below write into the result
+    out = np.array(fn(xs, jnp.asarray(deps), jnp.asarray(minv))[:B])
     for b, e in enumerate(encs):
         if e.ntot_enc == 0:
             out[b] = e.midval
