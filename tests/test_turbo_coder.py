@@ -24,18 +24,22 @@ def test_plane_roundtrip(n):
     assert np.array_equal(wn.decode_plane(enc, n, coder=1), syms)
 
 
-def test_constant_plane_has_no_payload():
-    # single-symbol blocks are reconstructed from the model alone
+def test_constant_plane_two_bytes_per_block():
+    # single-symbol blocks are tag 2 + the symbol: 2 bytes per block
     const = np.full(200000, 42, np.uint8)
     enc = wn.encode_plane(const, coder=1)
     nblocks = -(-200000 // 65536)
-    assert len(enc) == nblocks * (512 + 4)
+    assert len(enc) == nblocks * 2
+    assert enc[:2] == b"\x02\x2a"
 
 
-def test_incompressible_plane():
+def test_incompressible_plane_raw_escape():
     rng = np.random.default_rng(0)
     syms = rng.integers(0, 256, 300000).astype(np.uint8)
     enc = wn.encode_plane(syms, coder=1)
+    # near-uniform blocks take the raw escape: 1 tag byte + bs verbatim
+    nblocks = -(-300000 // 65536)
+    assert len(enc) == 300000 + nblocks
     assert np.array_equal(wn.decode_plane(enc, 300000, coder=1), syms)
     assert len(enc) < 300000 * 1.05  # bounded expansion on noise
 

@@ -513,10 +513,16 @@ static void decode_planes_il(const u8* const* data, const u64* lens,
 // the default everywhere remains the bit-exact reference coder.
 //
 // Per-plane stream layout, given symbol count n (known from context):
-//   for each 65536-symbol block (last may be short):
-//     u16 freqs[256] (LE, sum = 16384)
-//     u32 payload_len (LE; 0 => single-symbol block, no payload)
-//     u8  payload[payload_len]  (starts with 8 LE u32 lane states)
+//   for each 65536-symbol block (last may be short), a 1-byte tag:
+//     tag 0 (modeled): u16 freqs[256] (LE, sum = 16384),
+//                      u32 payload_len (LE),
+//                      u8 payload[payload_len] (8 LE u32 lane states first)
+//     tag 1 (raw):     bs verbatim bytes (near-incompressible blocks:
+//                      rANS + model header would cost >= bs)
+//     tag 2 (const):   u8 symbol (single-symbol block)
+// The raw escape is chosen iff payload_len + 516 >= bs — the decision is
+// part of the format (the JAX coder applies the identical rule so
+// streams stay byte-identical).
 // ----------------------------------------------------------------------------
 namespace turbo {
 
@@ -687,8 +693,7 @@ void encode_plane_t(const u8* syms, u64 n, std::vector<u8>& out) {
     const u8* p = syms + pos;
     hist256(p, bs, counts);
     normalize_freqs(counts, bs, freqs);
-    for (int i = 0; i < 256; ++i) put_le16(out, freqs[i]);
-    // single-symbol fast path: the model alone reconstructs the block
+    // single-symbol fast path: tag 2 + the symbol
     int nsym = 0, only = 0;
     for (int i = 0; i < 256; ++i)
       if (counts[i]) {
@@ -696,10 +701,13 @@ void encode_plane_t(const u8* syms, u64 n, std::vector<u8>& out) {
         only = i;
       }
     if (nsym <= 1) {
-      (void)only;
-      put_le32(out, 0);
+      out.push_back(2);
+      out.push_back(u8(only));
       continue;
     }
+    const u64 tagpos = out.size();
+    out.push_back(0);
+    for (int i = 0; i < 256; ++i) put_le16(out, freqs[i]);
     cum[0] = 0;
     for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freqs[i];
     // SIMD engine takes the full groups of 8; the scalar loop takes the
@@ -742,6 +750,13 @@ void encode_plane_t(const u8* syms, u64 n, std::vector<u8>& out) {
     }
     const u64 plen = u64(reinterpret_cast<u8*>(end16) -
                          reinterpret_cast<u8*>(w));
+    if (plen + 516 >= bs) {
+      // raw escape: the model header + payload can't beat verbatim bytes
+      out.resize(tagpos);
+      out.push_back(1);
+      out.insert(out.end(), p, p + bs);
+      continue;
+    }
     put_le32(out, u32(plen));
     out.insert(out.end(), reinterpret_cast<u8*>(w),
                reinterpret_cast<u8*>(end16));
@@ -758,25 +773,28 @@ u64 decode_plane_t(const u8* data, u64 len, u8* syms, u64 n) {
   u64 pos = 0;
   while (pos < n) {
     const u64 bs = std::min<u64>(kTBlock, n - pos);
-    if (u64(rend - r) < 516) return pos;  // truncated
+    if (r >= rend) return pos;  // truncated
+    const u8 tag = *r++;
+    if (tag == 2) {  // constant block
+      if (r >= rend) return pos;
+      std::memset(syms + pos, *r++, bs);
+      pos += bs;
+      continue;
+    }
+    if (tag == 1) {  // raw block
+      if (u64(rend - r) < bs) return pos;
+      std::memcpy(syms + pos, r, bs);
+      r += bs;
+      pos += bs;
+      continue;
+    }
+    if (tag != 0 || u64(rend - r) < 516) return pos;  // truncated/corrupt
     for (int i = 0; i < 256; ++i) {
       freqs[i] = u16(r[0] | (r[1] << 8));
       r += 2;
     }
     u32 plen = u32(r[0] | (r[1] << 8) | (r[2] << 16) | (u32(r[3]) << 24));
     r += 4;
-    if (plen == 0) {
-      // single-symbol block
-      int only = 0;
-      for (int i = 0; i < 256; ++i)
-        if (freqs[i]) {
-          only = i;
-          break;
-        }
-      std::memset(syms + pos, only, bs);
-      pos += bs;
-      continue;
-    }
     if (u64(rend - r) < plen || plen < u32(4 * kLanes)) return pos;
     cum[0] = 0;
     for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freqs[i];

@@ -30,9 +30,12 @@ TPU-first design
   per-symbol work stays on device.
 
 Stream layout per block (see wr_native.cc "Per-plane stream layout"):
-  u16 freqs[256] LE (sum = 16384)
-  u32 payload_len LE (0 => single-symbol block, no payload)
-  u8  payload[payload_len]  — 8 LE u32 lane states, then u16 words.
+a 1-byte tag, then
+  tag 0 (modeled): u16 freqs[256] LE (sum = 16384), u32 payload_len LE,
+                   payload (8 LE u32 lane states, then u16 words);
+  tag 1 (raw):     bs verbatim bytes — chosen iff payload_len + 516 >= bs
+                   (the decision is part of the format);
+  tag 2 (const):   u8 symbol (single-symbol block).
 """
 from __future__ import annotations
 
@@ -269,6 +272,41 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _assemble_blocks(ibs, bs_h, nsym_h, wlens_h, freqs_h, stream, offs,
+                     raw_bytes) -> bytes:
+    """Build one plane's container from per-block scan results.
+
+    Tag rules are part of the format (mirrored in wr_native.cc):
+    nsym <= 1 -> tag 2 (constant); plen + 516 >= bs -> tag 1 (raw,
+    bytes supplied by ``raw_bytes[ib]``); else tag 0 (modeled).
+    """
+    parts = []
+    for ib in ibs:
+        if nsym_h[ib] <= 1:
+            only = int(np.argmax(freqs_h[ib]))
+            parts.append(bytes([2, only]))
+            continue
+        plen = 2 * int(wlens_h[ib])
+        if plen + 516 >= bs_h[ib]:
+            parts.append(b"\x01")
+            parts.append(raw_bytes[ib])
+            continue
+        parts.append(b"\x00")
+        parts.append(freqs_h[ib].tobytes())
+        parts.append(np.uint32(plen).astype("<u4").tobytes())
+        parts.append(stream[offs[ib]:offs[ib + 1]].astype("<u2").tobytes())
+    return b"".join(parts)
+
+
+def _raw_candidates(bs_h, nsym_h, wlens_h, nb_total: int):
+    """Block ids that the tag rule will emit raw."""
+    ids = []
+    for ib in range(nb_total):
+        if nsym_h[ib] > 1 and 2 * int(wlens_h[ib]) + 516 >= bs_h[ib]:
+            ids.append(ib)
+    return ids
+
+
 def encode_planes(planes, unroll: int = 4) -> list[bytes]:
     """Encode u8 symbol planes to format-v2 streams on the default device.
 
@@ -282,32 +320,28 @@ def encode_planes(planes, unroll: int = 4) -> list[bytes]:
         return out
     Bpad = _bucket(B)
     if Bpad > B:
-        blocks = np.pad(blocks, ((0, Bpad - B), (0, 0)))
-        bs = np.pad(bs, (0, Bpad - B))
-    G = -(-int(bs.max()) // 8)
-    bs_d = jnp.asarray(bs, _I32)
+        blocks_p = np.pad(blocks, ((0, Bpad - B), (0, 0)))
+        bs_p = np.pad(bs, (0, Bpad - B))
+    else:
+        blocks_p, bs_p = blocks, bs
+    G = -(-int(bs_p.max()) // 8)
+    bs_d = jnp.asarray(bs_p, _I32)
     freqs, nsym, x_fin, words, emits, nwords = _encode_scan(
-        jnp.asarray(blocks), bs_d, G, unroll)
+        jnp.asarray(blocks_p), bs_d, G, unroll)
     nsym_h = np.asarray(nsym)
     nwords_h = np.asarray(nwords)
-    multi = nsym_h > 1
-    wlens_h = np.where(multi, nwords_h + 16, 0)
+    wlens_h = np.where(nsym_h > 1, nwords_h + 16, 0)
     total = int(wlens_h.sum())
     Wcap = _bucket(max(total, 1))
     stream = np.asarray(_encode_compact(
         x_fin, words, emits, nsym, bs_d, jnp.asarray(wlens_h, _I32), Wcap))
     freqs_h = np.asarray(freqs).astype("<u2")
     offs = np.concatenate([[0], np.cumsum(wlens_h)])
+    raw_bytes = {ib: blocks[ib, :bs[ib]].tobytes()
+                 for ib in _raw_candidates(bs, nsym_h, wlens_h, B)}
     for ip, (b0, nb, n) in enumerate(spans):
-        parts = []
-        for ib in range(b0, b0 + nb):
-            parts.append(freqs_h[ib].tobytes())
-            plen = 2 * int(wlens_h[ib])
-            parts.append(np.uint32(plen).astype("<u4").tobytes())
-            if plen:
-                parts.append(
-                    stream[offs[ib]:offs[ib + 1]].astype("<u2").tobytes())
-        out[ip] = b"".join(parts)
+        out[ip] = _assemble_blocks(range(b0, b0 + nb), bs, nsym_h, wlens_h,
+                                   freqs_h, stream, offs, raw_bytes)
     return out
 
 
@@ -355,17 +389,19 @@ def encode_planes_device(planes: jax.Array, n: int,
         x_fin, words, emits, nsym, bs_d, jnp.asarray(wlens_h, _I32), Wcap))
     freqs_h = np.asarray(freqs).astype("<u2")
     offs = np.concatenate([[0], np.cumsum(wlens_h)])
+    # raw blocks: download the verbatim symbols (same bytes the modeled
+    # payload would have cost, so no extra transfer vs pre-tag format)
+    raw_ids = _raw_candidates(bs, nsym_h, wlens_h, B)
+    raw_bytes = {}
+    if raw_ids:
+        fetched = np.asarray(blocks[jnp.asarray(raw_ids)])
+        for k, ib in enumerate(raw_ids):
+            raw_bytes[ib] = fetched[k, :bs[ib]].tobytes()
     out = []
     for ip in range(L):
-        parts = []
-        for ib in range(ip * nb, (ip + 1) * nb):
-            parts.append(freqs_h[ib].tobytes())
-            plen = 2 * int(wlens_h[ib])
-            parts.append(np.uint32(plen).astype("<u4").tobytes())
-            if plen:
-                parts.append(
-                    stream[offs[ib]:offs[ib + 1]].astype("<u2").tobytes())
-        out.append(b"".join(parts))
+        out.append(_assemble_blocks(range(ip * nb, (ip + 1) * nb), bs,
+                                    nsym_h, wlens_h, freqs_h, stream, offs,
+                                    raw_bytes))
     return out
 
 
@@ -427,20 +463,30 @@ def _decode_scan(freqs, states, words, wlen, bs, G: int, unroll: int):
 
 
 def _parse_stream(data: bytes, n: int):
-    """Walk a v2 container; split model headers and payloads per block."""
+    """Walk a v2 container; yields (pos, bsz, tag, freqs, aux) per block:
+    tag 0 -> (freqs, payload), tag 1 -> (None, raw bytes),
+    tag 2 -> (None, symbol int)."""
     mv = memoryview(data)
     pos = 0
     blocks = []
     r = 0
     while pos < n:
         bsz = min(TBLOCK, n - pos)
-        freqs = np.frombuffer(mv[r:r + 512], "<u2")
-        r += 512
-        plen = int(np.frombuffer(mv[r:r + 4], "<u4")[0])
-        r += 4
-        payload = mv[r:r + plen]
-        r += plen
-        blocks.append((pos, bsz, freqs, payload))
+        tag = mv[r]
+        r += 1
+        if tag == 2:
+            blocks.append((pos, bsz, 2, None, mv[r]))
+            r += 1
+        elif tag == 1:
+            blocks.append((pos, bsz, 1, None, mv[r:r + bsz]))
+            r += bsz
+        else:
+            freqs = np.frombuffer(mv[r:r + 512], "<u2")
+            r += 512
+            plen = int(np.frombuffer(mv[r:r + 4], "<u4")[0])
+            r += 4
+            blocks.append((pos, bsz, 0, freqs, mv[r:r + plen]))
+            r += plen
         pos += bsz
     return blocks
 
@@ -448,15 +494,23 @@ def _parse_stream(data: bytes, n: int):
 def _parse_to_batch(streams: list[bytes], ns: list[int]):
     """Parse v2 containers into padded device-upload arrays.
 
-    Single-symbol (empty-payload) blocks are included with their model,
-    zero words, and lane states at RANS_L: the decode scan then yields the
-    model's only symbol every step with no renormalization, so one uniform
-    device batch covers every block kind.
+    Constant (tag 2) blocks are included with a synthetic single-symbol
+    model, zero words, and lane states at RANS_L: the decode scan then
+    yields that symbol every step with no renormalization. Raw (tag 1)
+    blocks are returned separately — their bytes bypass the scan.
     """
     batch = []  # (plane, pos, bsz, freqs, payload)
+    raws = []   # (plane, pos, bsz, raw bytes)
     for ip, (s, n) in enumerate(zip(streams, ns)):
-        for pos, bsz, freqs, payload in _parse_stream(s, n):
-            batch.append((ip, pos, bsz, freqs, payload))
+        for pos, bsz, tag, freqs, aux in _parse_stream(s, n):
+            if tag == 1:
+                raws.append((ip, pos, bsz, aux))
+            elif tag == 2:
+                f = np.zeros(256, np.int32)
+                f[aux] = PROB_SCALE
+                batch.append((ip, pos, bsz, f, b""))
+            else:
+                batch.append((ip, pos, bsz, freqs, aux))
     B = len(batch)
     Bpad = _bucket(max(B, 1))
     maxw = max((max(len(p[4]) - 32, 0)) // 2 for p in batch) if batch else 0
@@ -475,36 +529,55 @@ def _parse_to_batch(streams: list[bytes], ns: list[int]):
             words_a[i, :nw] = np.frombuffer(payload[32:32 + 2 * nw], "<u2")
             wlen_a[i] = nw
     freqs_a[B:, 0] = PROB_SCALE  # benign model for pad rows
-    return batch, freqs_a, states_a, words_a, wlen_a, bs_a
+    return batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a
 
 
 def decode_planes_device(streams: list[bytes], n: int,
                          unroll: int = 4) -> jax.Array:
     """Decode L same-length v2 streams to a device-resident (L, n) u8.
 
-    Device mirror of ``encode_planes_device``: only the compressed words
-    and per-block models are uploaded; the symbol planes stay in HBM for
-    the accumulate/inverse-wavelet stage.
+    Device mirror of ``encode_planes_device``: only the compressed words,
+    per-block models, and raw-block bytes are uploaded; the symbol planes
+    stay in HBM for the accumulate/inverse-wavelet stage. Raw blocks skip
+    the scan entirely and are scattered into their slots.
     """
     L = len(streams)
-    batch, freqs_a, states_a, words_a, wlen_a, bs_a = _parse_to_batch(
-        streams, [n] * L)
-    assert all(b[0] * (-(-n // TBLOCK)) + (b[1] // TBLOCK) == i
-               for i, b in enumerate(batch)), "blocks not plane-major"
+    batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
+        _parse_to_batch(streams, [n] * L)
     nb = -(-n // TBLOCK)
-    G = -(-int(bs_a.max()) // 8)
-    syms = _decode_scan(
-        jnp.asarray(freqs_a), jnp.asarray(states_a), jnp.asarray(words_a),
-        jnp.asarray(wlen_a), jnp.asarray(bs_a), G, unroll)
-    return _deblockify(syms, L, nb, n)
+    drop = L * nb  # out-of-range slot: scatter mode="drop"
+    slots_b = np.full(freqs_a.shape[0], drop, np.int32)
+    for i, (ip, pos, bsz, _, _) in enumerate(batch):
+        slots_b[i] = ip * nb + pos // TBLOCK
+    if batch:
+        G = -(-int(bs_a.max()) // 8)
+        syms = _decode_scan(
+            jnp.asarray(freqs_a), jnp.asarray(states_a),
+            jnp.asarray(words_a), jnp.asarray(wlen_a), jnp.asarray(bs_a),
+            G, unroll)
+    else:
+        syms = jnp.zeros((1, TBLOCK), jnp.uint8)
+        slots_b = np.full(1, drop, np.int32)
+    Rpad = _bucket(max(len(raws), 1))
+    rawbuf = np.zeros((Rpad, TBLOCK), np.uint8)
+    slots_r = np.full(Rpad, drop, np.int32)
+    for i, (ip, pos, bsz, rb) in enumerate(raws):
+        rawbuf[i, :bsz] = np.frombuffer(rb, np.uint8)
+        slots_r[i] = ip * nb + pos // TBLOCK
+    return _compose_planes(syms, jnp.asarray(slots_b), jnp.asarray(rawbuf),
+                           jnp.asarray(slots_r), L, nb, n)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _deblockify(syms: jax.Array, L: int, nb: int, n: int):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _compose_planes(syms, slots_b, rawbuf, slots_r, L: int, nb: int,
+                    n: int):
     W8 = syms.shape[1]
     if W8 < TBLOCK:
         syms = jnp.pad(syms, ((0, 0), (0, TBLOCK - W8)))
-    return syms[:L * nb, :TBLOCK].reshape(L, nb * TBLOCK)[:, :n]
+    out = jnp.zeros((L * nb, TBLOCK), jnp.uint8)
+    out = out.at[slots_b].set(syms[:, :TBLOCK], mode="drop")
+    out = out.at[slots_r].set(rawbuf, mode="drop")
+    return out.reshape(L, nb * TBLOCK)[:, :n]
 
 
 def decode_planes(streams: list[bytes], ns: list[int],
@@ -514,8 +587,10 @@ def decode_planes(streams: list[bytes], ns: list[int],
     Byte-identical to ``native.decode_plane(s, n, coder=1)``.
     """
     outs = [np.empty(n, np.uint8) for n in ns]
-    batch, freqs_a, states_a, words_a, wlen_a, bs_a = _parse_to_batch(
-        streams, ns)
+    batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
+        _parse_to_batch(streams, ns)
+    for ip, pos, bsz, rb in raws:
+        outs[ip][pos:pos + bsz] = np.frombuffer(rb, np.uint8)
     if not batch:
         return outs
     G = -(-int(bs_a.max()) // 8)
