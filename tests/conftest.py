@@ -17,6 +17,12 @@ import jax
 # jax_platforms; override it AFTER import, before any backend init.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the softf64 graphs are compile-heavy; repeat
+# suite runs on one machine hit the cache and skip them entirely.
+_cache = os.path.join(os.path.dirname(__file__), "..", "build",
+                      "jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import subprocess
 from pathlib import Path

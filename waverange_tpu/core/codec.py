@@ -72,15 +72,48 @@ class EncodedField:
         return (self.nz, self.ny, self.nx)
 
 
+def _accel_platform() -> bool:
+    """True when the default JAX device is a real accelerator (device
+    f64 is XLA's emulated-x64 there; on the CPU backend x64 is exact)."""
+    try:
+        import jax
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+# Relative-error floors of the non-exact device paths on accelerators
+# (no native f64): XLA emulated x64 is an f32-pair scheme measured at
+# ~1.4e-12 rel on a 512^3 field (BENCH_r02); f32 quantization floors at
+# a few ulp of 2^-24. On the CPU backend both floors are 0 (real f64).
+DEVICE_F64_REL_FLOOR = 4e-12
+DEVICE_F32_REL_FLOOR = 1e-6
+
+
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
-    try:
-        import jax
-        plat = jax.devices()[0].platform
-        return "jax" if plat not in ("cpu",) else "native"
-    except Exception:
-        return "native"
+    return "jax" if _accel_platform() else "native"
+
+
+def _check_conformance(backend: str, precision: str, tolrel: float,
+                       conformance: str) -> None:
+    """Refuse device paths whose dtype floor exceeds the requested
+    tolerance (VERDICT r2 item 3: the error contract is
+    err <= ~1.2 * tolrel * max|fld|, doc/cfdproc2017.pdf p.2 Fig.3)."""
+    if conformance not in ("strict", "degraded"):
+        raise ValueError("conformance must be 'strict' or 'degraded'")
+    if conformance != "strict" or backend != "jax" or not _accel_platform():
+        return
+    floor = (DEVICE_F32_REL_FLOOR if precision == "native"
+             else DEVICE_F64_REL_FLOOR)
+    if tolrel < floor:
+        raise ValueError(
+            f"tolerance {tolrel:g} is below the device path's error floor "
+            f"({floor:g} relative) on this accelerator — the result would "
+            "violate the codec's error contract. Use backend='exact64' "
+            "(bit-exact software f64 on device), backend='native' (host "
+            "C++), or pass conformance='degraded' to accept the floor.")
 
 
 def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
@@ -89,7 +122,8 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                  backend: str = "native",
                  precision: str = "f64",
                  coder: str = "range",
-                 entropy: str = "host") -> EncodedField:
+                 entropy: str = "host",
+                 conformance: str = "strict") -> EncodedField:
     """Encode one (nz, ny, nx) field (f64 array or castable).
 
     `tolrel` is the relative tolerance; `cutoff` optionally provides the
@@ -113,18 +147,39 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     `entropy`: "host" (C++ threads) or "device" (jax backend + rans
     coder only): the entropy stage runs on the accelerator too, so the
     whole encode is on-chip and only compressed bytes cross PCIe.
+
+    `backend="exact64"`: software-IEEE binary64 on the accelerator
+    (core/exact64) — bit-identical streams to the native path even on
+    TPUs, at correctness-path throughput. Uniform cutoff only.
+
+    `conformance`: "strict" (default) refuses device paths whose dtype
+    error floor exceeds `tolrel` (raising with the conforming
+    alternatives); "degraded" permits them.
     """
     backend = _resolve_backend(backend)
     cid = coder_id(coder)
-    if entropy == "device" and (backend != "jax" or cid != 1):
-        raise ValueError("entropy='device' requires backend='jax' and "
-                         "coder='rans' (the v2 format is the lane-parallel "
-                         "one; the v1 range coder is sequential)")
+    if entropy == "device" and (backend not in ("jax", "exact64")
+                                or cid != 1):
+        raise ValueError("entropy='device' requires backend='jax'/"
+                         "'exact64' and coder='rans' (the v2 format is the "
+                         "lane-parallel one; the v1 range coder is "
+                         "sequential)")
+    _check_conformance(backend, precision, tolrel, conformance)
     nz, ny, nx = fld.shape
     if cutoff is None:
         cutoff = np.array([tolrel], dtype=np.float64)
     from ..utils import timed
-    if backend == "jax":
+    if backend == "exact64":
+        if not (mx == my == mz == 1):
+            raise ValueError("backend='exact64' supports the uniform "
+                             "cutoff only (mx=my=mz=1); the local-cutoff "
+                             "branch is the native f64 pipeline's")
+        from .exact64 import encode_field_exact64
+        with timed("encode.exact64"):
+            meta = encode_field_exact64(np.asarray(fld, np.float64),
+                                        tolrel, wtflag=wtflag, coder=cid,
+                                        entropy=entropy)
+    elif backend == "jax":
         with timed("encode.jax"):
             meta = _encode_jax(fld, tolrel, wtflag=wtflag,
                                keep_dtype=(precision == "native"),
@@ -157,15 +212,21 @@ def decode_field(enc: EncodedField, backend: str = "native",
     stage on the accelerator: only compressed bytes cross PCIe."""
     backend = _resolve_backend(backend)
     cid = coder_id_for_version(enc.coder_version)
-    if entropy == "device" and (backend != "jax" or cid != 1):
-        raise ValueError("entropy='device' requires backend='jax' and a "
-                         "turbo (v2) stream")
+    if entropy == "device" and (backend not in ("jax", "exact64")
+                                or cid != 1):
+        raise ValueError("entropy='device' requires backend='jax'/"
+                         "'exact64' and a turbo (v2) stream")
     meta = dict(tolabs=enc.tolabs, midval=enc.midval,
                 halfspanval=enc.halfspanval, wlev=enc.wlev, nlay=enc.nlay,
                 ntot_enc=enc.ntot_enc, deps_vec=enc.deps_vec,
                 minval_vec=enc.minval_vec, len_enc_vec=enc.len_enc_vec,
                 data=enc.data)
     from ..utils import timed
+    if backend == "exact64":
+        from .exact64 import decode_field_exact64
+        with timed("decode.exact64"):
+            return decode_field_exact64(meta, enc.shape_zyx, coder=cid,
+                                        entropy=entropy)
     if backend == "jax":
         with timed("decode.jax"):
             return _decode_jax(meta, enc.shape_zyx, coder=cid,

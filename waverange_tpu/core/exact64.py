@@ -8,8 +8,10 @@ scalar parameters (deps, 1/deps, offsets, tolabs) are data-dependent
 scalars; they are fetched to the host (two u32 pairs per layer) and
 computed there in real IEEE doubles, exactly like the reference's host
 code (wrappers.cpp:292-330). The result is bit-identical to the native
-C++ pipeline / ISO-built reference on ANY backend, including real TPU
-hardware (asserted on-chip by bench.py's WR_BENCH_VERIFY mode).
+C++ pipeline / ISO-built reference on ANY backend; tests pin this on the
+CPU backend (tests/test_softf64.py) and bench.py's WR_BENCH_VERIFY mode
+asserts the stream equality on the real chip (the "exact64 on-chip"
+verify line in the bench tail).
 
 Throughput is ~100 integer ops per f64 op — this is the correctness
 path; the f32 Pallas kernels and the rANS entropy stage are the

@@ -34,6 +34,7 @@
 #endif
 #include <chrono>
 #include <cstdlib>
+#include <cassert>
 #include <cstdio>
 
 namespace wr {
@@ -1563,10 +1564,16 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   // small slot pool (threads + 2 planes) keeps coder workers busy while
   // bounding resident memory — the full 8-plane matrix at 512^3 is
   // >1 GiB, which this host's paging punishes.
+  // Coder concurrency: the quantizer (main thread) runs concurrently with
+  // the coder workers, so spawning hw workers oversubscribes small hosts
+  // (measured 15% SLOWER on 2 vCPUs). Spawn hw-1 workers and let the main
+  // thread join the coder pool once every layer is quantized — all cores
+  // stay busy in both phases without oversubscription.
   int nthreads = (int)std::thread::hardware_concurrency();
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
   if (nthreads > kLayersMax) nthreads = kLayersMax;
+  const int nworkers = nthreads > 1 ? nthreads - 1 : 1;
   const int slots = std::min(kLayersMax, nthreads + 2);
   std::vector<u8> planebuf(u64(slots) * n);
   std::vector<u8> streams[kLayersMax];
@@ -1616,7 +1623,7 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
     }
   };
   std::vector<std::thread> ths;
-  for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
+  for (int t = 0; t < nworkers; ++t) ths.emplace_back(work);
 
   // Layer-0 model bounds from one scan of the wavelet field; each fused
   // quantize pass then yields the next layer's bounds for free.
@@ -1633,12 +1640,17 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
     u8* syms = planebuf.data() + u64(ilay % slots) * n;
     LayerResult lr;
     if (mtot > 1) {
-      // local-cutoff path exists only in the f64 conformance pipeline
+      // Local-cutoff exists only in the f64 conformance pipeline
+      // (reference wrappers.cpp:343-379 is double-only). The f32 entry
+      // points cannot express mtot > 1 (no cutoffvec parameter), so the
+      // float instantiation of this branch is unreachable; assert rather
+      // than silently degrading to the uniform path.
       if constexpr (std::is_same<T, double>::value) {
         lr = quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
                                    tolrel, out->wlev, mx, my, mz, cutoffvec,
                                    ilay);
       } else {
+        assert(!"local-cutoff (mtot > 1) requires the f64 pipeline");
         lr = quantize_layer_fused(fld, syms, n, T(out->tolabs), ilay, lmn,
                                   lmx, &lmn, &lmx);
       }
@@ -1661,6 +1673,7 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
     all_queued = true;
   }
   cv.notify_all();
+  work();  // main thread codes remaining layers alongside the workers
   for (auto& th : ths) th.join();
 
   u64 total = 0;

@@ -131,9 +131,15 @@ def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
     f = f.at[jnp.arange(B, dtype=_I32), maxs].add(deficit)
     ssum = ssum + deficit
 
-    # Steal loop: ≤255 excess (only the 0→1 clamps overshoot), each
-    # iteration removes ≥1, so 255 masked iterations always converge.
-    def steal(_, state):
+    # Steal loop: ≤255 excess (only the 0→1 clamps overshoot) and each
+    # pass takes the whole excess from the current max unless it would
+    # drop below 1, so it converges in 1-2 passes for real data (bounded
+    # by 255). A while_loop runs only as long as any block has excess.
+    def has_excess(state):
+        _, ssum = state
+        return jnp.any(ssum > PROB_SCALE)
+
+    def steal(state):
         f, ssum = state
         excess = ssum - PROB_SCALE
         eligible = jnp.where(f > 1, f, 0)
@@ -143,7 +149,7 @@ def _normalize_freqs(counts: jax.Array, bs: jax.Array) -> jax.Array:
         f = f.at[jnp.arange(B, dtype=_I32), b].add(-take)
         return f, ssum - take
 
-    f, _ = jax.lax.fori_loop(0, 255, steal, (f, ssum))
+    f, _ = jax.lax.while_loop(has_excess, steal, (f, ssum))
     return f
 
 
