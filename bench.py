@@ -159,18 +159,21 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
                 nbytes_out=nbytes_out, err=max(errs), nlay=None)
 
 
-def bench_tpu_full(fld, tol, n_blocks=8):
+def bench_tpu_full(fld, tol, n_blocks=None):
     """Fully on-device pipeline: wavelet + quantize + rANS entropy all on
-    the accelerator; only compressed bytes cross the host link (divided
-    z-slab layout). Also reports on-chip compute-only rates (the numbers
-    that matter on real TPU hosts, where the link is local DMA, not a
-    tunnel)."""
+    the accelerator (Pallas kernel path); only compressed bytes cross the
+    host link (divided z-slab layout). Uploads of slab k+1 are dispatched
+    before slab k's streams are assembled so the tunnel overlaps compute.
+    Also reports on-chip compute-only rates (the numbers that matter on
+    real TPU hosts, where the link is local DMA, not a tunnel)."""
     import jax
     import jax.numpy as jnp
     from waverange_tpu.ops import rans
     from waverange_tpu.ops.quant import _encode_step_impl, decode_step
 
     nz = fld.shape[0]
+    if n_blocks is None:
+        n_blocks = max(8, nz // 64)   # 64-deep z-slabs above 512^3
     assert nz % n_blocks == 0
     slabs = np.split(fld, n_blocks, axis=0)
     n = slabs[0].size
@@ -220,6 +223,7 @@ def bench_tpu_full(fld, tol, n_blocks=8):
     jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
     comp["dstep_s"] = time.time() - t0
     slab_gb = slabs[0].nbytes / 1e9
+    comp["slab_gb"] = slab_gb
     log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs (%.2f GB/s), "
         "rans dec %.3fs (%.2f GB/s), decode step %.3fs" % (
             f"{slabs[0].shape}", comp["step_s"], comp["rans_enc_s"],
@@ -229,8 +233,11 @@ def bench_tpu_full(fld, tol, n_blocks=8):
     # --- end-to-end encode: upload raw, download compressed only ---
     results = [None] * n_blocks
     t0 = time.time()
+    xk = jax.device_put(slabs[0])
     for k in range(n_blocks):
-        out = step(jnp.asarray(slabs[k]), *consts)
+        out = step(xk, *consts)
+        if k + 1 < n_blocks:
+            xk = jax.device_put(slabs[k + 1])  # overlaps with below
         nlay = int(out[3])
         streams = rans.encode_planes_device(out[0][:nlay], n)
         results[k] = (streams, np.asarray(out[1][:nlay]),
@@ -296,11 +303,39 @@ def verify_on_chip(fld, tol):
     except ImportError:
         log("  verify: Pallas kernels unavailable, skipped")
 
-    # device-f64 error envelope across tolerances (emulated f64 floor)
+    # exact64 on-chip: the software-IEEE f64 path must produce the SAME
+    # stream as the native C++ pipeline on the real chip (32^3 cube keeps
+    # the per-level lifting graphs small).
+    try:
+        from waverange_tpu.core import exact64
+        sub32 = np.ascontiguousarray(fld[:32, :32, :32])
+        t0 = time.time()
+        got = exact64.encode_field_exact64(sub32, 1e-16, entropy="host",
+                                           coder=1)
+        want = wn.encode_field(sub32, wtflag=1,
+                               cutoff=np.array([1e-16]), coder=1)
+        same = (got["data"] == want["data"]
+                and got["nlay"] == want["nlay"]
+                and np.array_equal(got["deps_vec"], want["deps_vec"]))
+        assert same, "exact64 on-chip stream != native C++ stream"
+        dec = exact64.decode_field_exact64(got, sub32.shape,
+                                           entropy="host", coder=1)
+        dref = wn.decode_field(want, sub32.shape, coder=1)
+        assert np.array_equal(dec.view(np.uint64), dref.view(np.uint64)), \
+            "exact64 on-chip decode != native decode (bitwise)"
+        log(f"  verify: exact64 on-chip stream+decode bit-identical to "
+            f"native C++ at tol 1e-16 ({time.time()-t0:.0f}s incl "
+            "compiles)")
+    except ImportError:
+        log("  verify: exact64 unavailable, skipped")
+
+    # device-f64 error envelope across tolerances (emulated f64 floor);
+    # conformance='degraded' is explicit — the strict default refuses
+    # below-floor tolerances on device paths.
     env = {}
     for t in (1e-4, 1e-7, 1e-10, 1e-13, 1e-16):
         e = codec.encode_field(sub, t, backend="jax", coder="rans",
-                               entropy="device")
+                               entropy="device", conformance="degraded")
         d = codec.decode_field(e, backend="jax", entropy="device")
         rel = float(np.abs(d - sub).max() / np.abs(sub).max())
         env[f"{t:g}"] = rel
@@ -346,9 +381,15 @@ def bench_reference(fld, tol, workdir, decode=False):
 
 
 def main():
-    n = int(os.environ.get("WR_BENCH_N", "512"))
+    # Default headline is the north-star shape (1024^3, BASELINE
+    # config[4]'s single-chip stand-in); WR_BENCH_N=512 for the shorter
+    # run. Large shapes default to one native/reference pair and skip
+    # the hybrid pipeline to stay inside the driver's budget.
+    n = int(os.environ.get("WR_BENCH_N", "1024"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
-    pairs = int(os.environ.get("WR_BENCH_PAIRS", "3"))
+    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "3"))
+    if n >= 1024:
+        os.environ.setdefault("WR_BENCH_SKIP_HYBRID", "1")
     fld = make_field(n)
     gib = fld.nbytes / 1e9
 
@@ -397,6 +438,8 @@ def main():
     # tpu paths LAST: their warm-up threads cannot be cancelled if the
     # watchdog fires, and must not contaminate the host measurements.
     rt = rf = None
+    rf2 = rn2 = None
+    tol2 = float(os.environ.get("WR_BENCH_TOL_TPU", "1e-10"))
     verify_env = None
     if os.environ.get("WR_BENCH_SKIP_TPU") != "1":
         try:
@@ -417,6 +460,18 @@ def main():
                 f"{rf['decode_s']:.2f}s ({gib/rf['decode_s']:.3f} GB/s), "
                 f"ratio {rf['nbytes_out']/rf['nbytes_in']:.3f}, "
                 f"err {rf['err']:.2e}")
+            # The emulated-f64 device transform floors at ~1e-12 rel, so
+            # at near-lossless tolerances the device rows are marked
+            # non-conforming. The device-vs-host comparison that honors
+            # the error contract runs at tol2 (both pipelines, same
+            # data): the contract holds there for both.
+            log(f"tpu-full vs native at conforming tol {tol2:g}...")
+            rf2 = bench_tpu_full(fld, tol2)
+            rn2 = bench_native(fld, tol2, reps=1, coder=1)
+            log(f"  tol {tol2:g}: tpu-full encode {rf2['encode_s']:.2f}s "
+                f"({gib/rf2['encode_s']:.3f} GB/s) err {rf2['err']:.2e} | "
+                f"native(turbo) encode {rn2['encode_s']:.2f}s "
+                f"({gib/rn2['encode_s']:.3f} GB/s) err {rn2['err']:.2e}")
         except Exception as e:
             log(f"  tpu-full failed: {type(e).__name__}: {e}")
         if os.environ.get("WR_BENCH_SKIP_HYBRID") != "1":
@@ -431,7 +486,27 @@ def main():
             except Exception as e:
                 log(f"  tpu-hybrid failed: {type(e).__name__}: {e}")
 
-    best = min((r for r in (rn, rt, rf) if r), key=lambda r: r["encode_s"])
+    # Error-contract enforcement (round-3): a pipeline row is conforming
+    # iff its error is within the codec's contract err <= 1.3*tol*max|fld|
+    # (doc/cfdproc2017.pdf p.2 Fig.3) OR within 2x the bit-exact native
+    # path's error — the latter covers round-off-limited tolerances where
+    # the REFERENCE itself exceeds the formula (tol 1e-16 reconstructs at
+    # ~6e-14 on 512^3). Non-conforming rows are excluded from the
+    # headline, not silently reported.
+    maxabs = float(np.abs(fld).max())
+    limit = 1.3 * tol * maxabs
+    anchor = 2.0 * rn["err"] if rn else limit
+    rows = {"native": rn, "tpu-hybrid": rt, "tpu-full": rf}
+    for name, r in rows.items():
+        if not r:
+            continue
+        r["conforming"] = r["err"] <= max(limit, anchor)
+        if not r["conforming"]:
+            log(f"  CONTRACT FAIL: {name} err {r['err']:.2e} > "
+                f"max({limit:.2e}, 2x native {anchor:.2e}) — row excluded "
+                "from headline")
+    conforming = [r for r in (rn, rt, rf) if r and r["conforming"]]
+    best = min(conforming, key=lambda r: r["encode_s"])
     value = gib / best["encode_s"]
     vs = (ref["encode_s"] / best["encode_s"]) if ref else None
     line = {
@@ -439,14 +514,31 @@ def main():
         "value": round(value, 4),
         "unit": "GB/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "best_pipeline": [k for k, v in rows.items() if v is best][0],
     }
     if ref and ref.get("decode_s") and rn:
         line["decode_vs_baseline"] = round(
             ref["decode_s"] / rn["decode_s"], 3)
+    if rf2 and rn2:
+        lim2 = max(1.3 * tol2 * maxabs, 2.0 * rn2["err"])
+        line["tpu_full_conforming"] = {
+            "tol": tol2,
+            "encode_gbps": round(gib / rf2["encode_s"], 4),
+            "decode_gbps": round(gib / rf2["decode_s"], 4),
+            "err_ok": bool(rf2["err"] <= lim2),
+            "vs_native_same_tol": round(
+                rn2["encode_s"] / rf2["encode_s"], 3),
+        }
+    if rf and rf.get("onchip"):
+        c = rf["onchip"]
+        sg = c.get("slab_gb", gib / 8)
+        line["onchip_rans_enc_gbps"] = round(sg / c["rans_enc_s"], 3)
+        line["onchip_rans_dec_gbps"] = round(sg / c["rans_dec_s"], 3)
     if verify_env is not None:
         line["verified_on_chip"] = True
     print(json.dumps(line))
     return dict(native=rn, ref=ref, tpu_full=rf, tpu_hybrid=rt,
+                tpu_full_tol2=rf2, native_tol2=rn2,
                 verify_env=verify_env, gib=gib, n=n, tol=tol)
 
 

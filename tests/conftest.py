@@ -15,7 +15,9 @@ import jax
 
 # The axon sitecustomize force-registers the TPU backend and overwrites
 # jax_platforms; override it AFTER import, before any backend init.
-jax.config.update("jax_platforms", "cpu")
+# WR_TPU=1 (tests/test_tpu_hardware.py) keeps the real accelerator.
+if os.environ.get("WR_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the softf64 graphs are compile-heavy; repeat
 # suite runs on one machine hit the cache and skip them entirely.

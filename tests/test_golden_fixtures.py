@@ -64,3 +64,32 @@ def test_example_scripts(script, tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-800:]
     assert "round trip complete" in r.stdout
+
+
+def test_vendored_flusi_golden_decode():
+    """Decode the VENDORED reference-binary-produced FluSI file (the
+    permanent stand-in for the OSF sample-data download of
+    examples/flusi/flusi_dec_enc.sh:15-17): our decoder's output must be
+    bit-identical to the vendored reference decode, and re-encoding must
+    reproduce the vendored encoded payload byte-for-byte."""
+    h5py = pytest.importorskip("h5py")
+    from waverange_tpu.io.flusi import decode_flusi_file, encode_flusi_file
+    g = Path(__file__).parent / "golden"
+    src = g / "flusi_ux_golden.enc.h5"
+    if not src.exists():
+        pytest.skip("vendored golden missing")
+    tmpd = REPO / "build" / "tmp"
+    tmpd.mkdir(parents=True, exist_ok=True)
+    out = tmpd / "flusi_golden_dec.h5"
+    decode_flusi_file(str(src), str(out), ifiletype=0, iouttype=2,
+                      verbose=False)
+    with h5py.File(out) as fo, h5py.File(g / "flusi_ux_golden.dec.h5") as fr:
+        a = fo["ux_00042"][...]
+        b = fr["ux_00042"][...]
+        assert np.array_equal(a.view(np.uint64), b.view(np.uint64))
+    # re-encode the ORIGINAL field: payload must match the vendored enc
+    enc2 = tmpd / "flusi_golden_reenc.h5"
+    encode_flusi_file(str(g / "flusi_ux_golden.h5"), str(enc2),
+                      ifiletype=0, tol_base=1e-5, verbose=False)
+    with h5py.File(enc2) as fa, h5py.File(src) as fb:
+        assert np.array_equal(fa["ux_00042"][...], fb["ux_00042"][...])

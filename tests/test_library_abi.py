@@ -91,3 +91,34 @@ def test_static_archive(libdir, tmp_path):
     r = subprocess.run([str(exe)], check=True, capture_output=True,
                        text=True)
     assert "PASS" in r.stdout
+
+
+def test_fortran_example_abi(tmp_path):
+    """Compile and run the Fortran library example (reference analog:
+    examples/fortran/example_fort.f90:120-126, the reference's only
+    self-checking test). Skips when no Fortran compiler is present
+    (this image has none); on hosts with gfortran it builds
+    examples/fortran/example_wr.f90 against our drop-in libwaverange
+    and asserts the printed L-inf error is within the tolerance
+    contract."""
+    import shutil
+    gfortran = shutil.which("gfortran") or shutil.which("flang")
+    if gfortran is None:
+        pytest.skip("no Fortran compiler on this host")
+    from waverange_tpu.native.libwaverange import build_libwaverange
+    libdir = build_libwaverange(tmp_path / "lib")
+    src = REPO / "examples" / "fortran" / "example_wr.f90"
+    exe = tmp_path / "example_wr"
+    r = subprocess.run(
+        [gfortran, "-o", str(exe), str(src),
+         f"-L{libdir / 'lib'}", "-lwaverange",
+         f"-Wl,-rpath,{libdir / 'lib'}"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run([str(exe)], capture_output=True, text=True,
+                       cwd=tmp_path)
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-500:])
+    import re
+    m = re.search(r"err_linf_abs\s*=?\s*([0-9.eE+-]+)", r.stdout)
+    assert m, f"no error line in output:\n{r.stdout[-800:]}"
+    assert float(m.group(1)) < 1e-4  # example uses tolrel 1e-6 @ 64^3

@@ -15,6 +15,8 @@ import os
 import sys
 import time
 import traceback
+
+sys.setrecursionlimit(1_000_000)
 from contextlib import redirect_stdout, redirect_stderr
 from pathlib import Path
 
@@ -63,6 +65,7 @@ def run_job(path: Path):
     body = out.getvalue()
     (DONE / f"{name}.out").write_text(
         f"# status={status} wall={dt:.1f}s\n{body}")
+    (DONE / f"{name}.py").write_text(code)   # keep the job source
     path.unlink()
     print(f"job {name}: {status} ({dt:.1f}s)", flush=True)
 

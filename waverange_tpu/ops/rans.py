@@ -366,6 +366,122 @@ def _plane_bs(L: int, nb: int, n: int, Bpad: int) -> np.ndarray:
     return np.pad(bs, (0, Bpad - L * nb))
 
 
+def _use_kernels() -> bool:
+    """Pallas kernel path: on by default on real accelerators, off on
+    the CPU backend (the XLA scan path is the CPU/test oracle)."""
+    import os
+    env = os.environ.get("WR_RANS_KERNELS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _prep_kernel_inputs(planes: jax.Array, bs_d: jax.Array, nb: int,
+                        Bpad: int):
+    """Device-side glue in ONE dispatch: blockify, transpose, histogram,
+    normalize, model table, pre-gather, chain, per-block word counts."""
+    from . import rans_kernels as rk
+
+    n = planes.shape[1]
+    blocks = _blockify(planes, nb, Bpad, n)          # (Bpad, TBLOCK)
+    blocks_t = blocks.T                              # (TBLOCK, Bpad)
+    counts = rk.hist_blocks(blocks_t)                # (Bpad, 256)
+    # zero-padding landed in bin 0; restore true per-block counts
+    pad = (jnp.int32(TBLOCK) - bs_d).astype(_I32)
+    counts = counts.at[:, 0].add(-pad)
+    freqs = _normalize_freqs(counts, bs_d)
+    nsym = jnp.sum(counts > 0, axis=1, dtype=_I32)
+    cum = jnp.cumsum(freqs, axis=1, dtype=_I32) - freqs
+    etab_t = (freqs.astype(_U32) | (cum.astype(_U32) << _u32(16))).T
+    e = rk.pregather(blocks_t, etab_t).reshape(TBLOCK // 8, 8, Bpad)
+    words, emits, x_fin = rk.chain(e, bs_d[None, :])
+    nwords = jnp.sum(emits.astype(_I32), axis=(0, 1), dtype=_I32)
+    st = jnp.stack([x_fin & _u32(0xFFFF), x_fin >> _u32(16)],
+                   axis=2).transpose(1, 0, 2).reshape(Bpad, 16)
+    return blocks, words, emits, st.astype(_I32), freqs, nsym, nwords
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _compact_kernel_call(offsets, npieces, words, emits, states16,
+                         total_rows: int):
+    from . import rans_kernels as rk
+
+    Bpad = states16.shape[0]
+    words_b = words.reshape(TBLOCK // 8 * 8, Bpad).T.reshape(
+        Bpad, TBLOCK // 128, 128)
+    emits_b = emits.reshape(TBLOCK // 8 * 8, Bpad).T.reshape(
+        Bpad, TBLOCK // 128, 128)
+    return rk.compact(offsets, npieces, words_b, emits_b, states16,
+                      total_rows)
+
+
+def _encode_planes_kernels(planes: jax.Array, n: int) -> list[bytes]:
+    """Kernel-pipeline device encode (see ops/rans_kernels.py)."""
+    from . import rans_kernels as rk
+
+    L = planes.shape[0]
+    nb = -(-n // TBLOCK)
+    B = L * nb
+    Bpad = -(-B // 128) * 128
+    bs = _plane_bs(L, nb, n, Bpad)
+    bs_d = jnp.asarray(bs, _I32)
+    blocks, words, emits, st, freqs, nsym, nwords = _prep_kernel_inputs(
+        planes, bs_d, nb, Bpad)
+    # one small host sync for the data-dependent layout
+    nsym_h = np.asarray(nsym)
+    nwords_h = np.asarray(nwords)
+    freqs_h = np.asarray(freqs).astype("<u2")
+    wlens = nwords_h.astype(np.int64) + 16          # payload u16 words
+    plen = 2 * wlens
+    const_b = nsym_h <= 1
+    live = bs > 0
+    raw_b = (~const_b) & (plen + 516 >= bs) & live
+    modeled = (~const_b) & (~raw_b) & live
+    npieces_h = np.where(modeled,
+                         -(-wlens // rk.ALIGN_WORDS), 0).astype(np.int32)
+    offs_units = np.concatenate(
+        [[0], np.cumsum(npieces_h)]).astype(np.int32)
+    total_units = int(offs_units[-1])
+    total_rows = max(total_units, 1) * 16
+    payload = _compact_kernel_call(
+        jnp.asarray(offs_units[:-1], _I32), jnp.asarray(npieces_h, _I32),
+        words, emits, st, total_rows)
+    payload_h = np.asarray(payload)          # (total_rows, 128) u16
+    pay_bytes = payload_h.reshape(-1).view(np.uint8)
+    raw_ids = np.nonzero(raw_b)[0]
+    raw_bytes = {}
+    if raw_ids.size:
+        fetched = np.asarray(blocks[jnp.asarray(raw_ids, _I32)])
+        for k, ib in enumerate(raw_ids):
+            raw_bytes[int(ib)] = fetched[k, :bs[ib]].tobytes()
+    freq_mv = memoryview(freqs_h.tobytes())
+    pay_mv = memoryview(pay_bytes)
+    only_sym = np.argmax(freqs_h, axis=1).astype(np.uint8)
+    plen_le = plen.astype("<u4")
+
+    out = []
+    for ip in range(L):
+        parts = []
+        for ib in range(ip * nb, (ip + 1) * nb):
+            if const_b[ib]:
+                parts.append(bytes([2, only_sym[ib]]))
+            elif raw_b[ib]:
+                parts.append(b"\x01")
+                parts.append(raw_bytes[int(ib)])
+            else:
+                parts.append(b"\x00")
+                parts.append(freq_mv[ib * 512:(ib + 1) * 512])
+                parts.append(plen_le[ib].tobytes())
+                o = int(offs_units[ib]) * rk.ALIGN_WORDS * 2
+                parts.append(pay_mv[o:o + int(plen[ib])])
+        out.append(b"".join(parts))
+    return out
+
+
 def encode_planes_device(planes: jax.Array, n: int,
                          unroll: int = 4) -> list[bytes]:
     """Encode device-resident (L, n) u8 planes to format-v2 streams.
@@ -373,7 +489,19 @@ def encode_planes_device(planes: jax.Array, n: int,
     Same streams as ``encode_planes`` / ``native.encode_plane(p, coder=1)``
     but the symbols never touch the host: blocks are built on device and
     only the compressed words + per-block models are downloaded.
+
+    On real accelerators this runs the Pallas kernel pipeline
+    (ops/rans_kernels.py, ~100x the XLA scan path); the scan path
+    remains the CPU-backend implementation and oracle.
     """
+    if _use_kernels() and n > 0 and planes.shape[0] > 0:
+        return _encode_planes_kernels(planes, n)
+    return _encode_planes_device_scan(planes, n, unroll)
+
+
+def _encode_planes_device_scan(planes: jax.Array, n: int,
+                               unroll: int = 4) -> list[bytes]:
+    """XLA-scan device encode (CPU-backend path and kernel oracle)."""
     L = planes.shape[0]
     if n == 0 or L == 0:
         return [b""] * L
@@ -425,31 +553,32 @@ def _decode_scan(freqs, states, words, wlen, bs, G: int, unroll: int):
       wlen:   (B,) i32 word counts.
       bs:     (B,) i32 symbols per block.
     Returns syms (B, G*8) u8.
+
+    The slot -> (symbol, freq, cum) resolution is a broadcast SWEEP over
+    the 256-entry cumulative table (sym = #cum <= slot - 1; cumExcl by
+    masked max; cumIncl by masked min) rather than a 16384-entry
+    slot-table gather: per-step gathers from HBM-resident tables
+    dominated the old scan on real chips (round-3 profiling), while the
+    sweep is pure fused vector arithmetic. Zero-frequency symbols share
+    their successor's cum and never cover a slot, matching the C++
+    symtab construction (wr_native.cc decode_plane_t).
     """
     B = freqs.shape[0]
     cum = jnp.cumsum(freqs, axis=1, dtype=_I32) - freqs  # (B,256) exclusive
-    # symtab[slot] = s  via scatter(+1 at cum[s], s=1..255) then cumsum.
-    row = jnp.broadcast_to(jnp.arange(B, dtype=_I32)[:, None], (B, 255))
-    inc = jnp.zeros((B, PROB_SCALE), _I32).at[row, cum[:, 1:]].add(
-        1, mode="drop")
-    symtab = jnp.cumsum(inc, axis=1, dtype=_I32)  # (B,16384) in [0,255]
-    ftab = jnp.take_along_axis(freqs, symtab, axis=1)
-    ctab = jnp.take_along_axis(cum, symtab, axis=1)
-    slot_iota = jnp.arange(PROB_SCALE, dtype=_I32)[None, :]
-    # packed: freq | (slot - cum[s]) << 16 ; symbol kept separate (u8).
-    t1 = (ftab.astype(_U32)
-          | ((slot_iota - ctab).astype(_U32) << _u32(16)))
-    t2 = symtab.astype(jnp.uint8)
+    cum_b = cum[:, None, :]                              # (B,1,256)
     lane = jnp.arange(8, dtype=_I32)[None, :]
     W = words.shape[1]
 
     def step(carry, g):
         x, cur = carry
-        slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)
-        e = jnp.take_along_axis(t1, slot, axis=1)
-        s = jnp.take_along_axis(t2, slot, axis=1)
-        f = e & _u32(0xFFFF)
-        offv = e >> _u32(16)
+        slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)   # (B,8)
+        mask = cum_b <= slot[:, :, None]                 # (B,8,256)
+        sym = jnp.sum(mask, axis=2, dtype=_I32) - 1
+        cum_e = jnp.max(jnp.where(mask, cum_b, 0), axis=2)
+        cum_i = jnp.min(jnp.where(mask, PROB_SCALE, cum_b), axis=2)
+        f = (cum_i - cum_e).astype(_U32)
+        s = sym
+        offv = (slot - cum_e).astype(_U32)
         active = (g * 8 + lane) < bs[:, None]
         xn = f * (x >> _u32(PROB_BITS)) + offv
         need = jnp.logical_and(active, xn < _u32(RANS_L))
@@ -460,7 +589,7 @@ def _decode_scan(freqs, states, words, wlen, bs, G: int, unroll: int):
         xr = jnp.where(can, (xn << _u32(16)) | w.astype(_U32), xn)
         x = jnp.where(active, xr, x)
         cur = cur + jnp.sum(can, axis=1, dtype=_I32)
-        return (x, cur), s
+        return (x, cur), s.astype(jnp.uint8)
 
     (_, _), syms = jax.lax.scan(
         step, (states, jnp.zeros((B,), _I32)),

@@ -1,0 +1,425 @@
+"""Pallas TPU kernels for the format-v2 interleaved-rANS entropy stage.
+
+Byte-format oracle: ``turbo::encode_plane_t`` / ``decode_plane_t`` in
+``native/src/wr_native.cc`` — streams produced here are byte-identical
+(pinned by tests/test_rans_device.py A/B and the WR_TPU hardware tests).
+
+Why kernels (round-3 perf work): the XLA implementation in ops/rans.py
+is correct everywhere but loses ~100x to hardware limits on real chips —
+XLA gathers (2.3 s to pre-gather one slab's models), scatter-adds
+(0.9 s histograms), scatter-compaction (1.1 s) and per-scan-step
+overhead dominate. Mosaic on this stack supports only (8, W)-shaped
+``dynamic_gather`` and no cumsum/scatter in kernels, so every stage is
+restructured around full-width vector ops:
+
+  1. ``hist_blocks`` — per-block 256-bin histogram by compare-sweep.
+  2. normalize       — XLA (ops/rans._normalize_freqs, while_loop).
+  3. ``pregather``   — e[i] = freq|cum<<16 per symbol, via 32 8-entry
+                       subtable gathers + select (the only legal
+                       dynamic_gather shape is one (8, W) tile).
+  4. ``chain``       — the 8-lane rANS recurrences for all blocks at
+                       once: grid (tiles, chunks), lane states in
+                       persistent scratch; dense words + emit flags.
+  5. ``compact``     — per-block stream compaction: Hillis-Steele
+                       prefix + 17-stage monotone log-shift routing
+                       over a (512, 128) flattened-position tile, a
+                       16-slot right-roll to make room for the lane
+                       state words, then masked DMAs into ONE aligned
+                       u16 buffer at scalar-prefetched block offsets.
+
+The host slices per-block payloads from that single download and frames
+tags/models with numpy — no per-symbol host work anywhere.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PROB_BITS = 14
+PROB_SCALE = 1 << PROB_BITS
+TBLOCK = 1 << 16
+RANS_L = 1 << 16
+LANES = 8
+G = TBLOCK // LANES          # 8192 groups per block
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+ALIGN_WORDS = 2048           # payload alignment: 16 rows x 128 u16
+MAX_PIECES = 16              # cap: 32768 words >= the raw-escape bound
+                             # (raw iff 2*wlen + 516 >= bs, wr_native.cc)
+
+
+def _u32(x):
+    return jnp.asarray(x, _U32)
+
+
+# Every pallas_call below is invoked under jax.enable_x64(False): the
+# enclosing process runs jax_enable_x64 (the codec's host arithmetic is
+# f64), under which fori_loop counters, index-map results and weak ints
+# trace as i64 — and Mosaic either rejects 64-bit types or (for some
+# convert pairs) recurses without terminating during lowering. All
+# kernel arithmetic is explicitly 32-bit, so x32 tracing is
+# value-identical.
+
+
+# ---------------------------------------------------------------------------
+# 1. Histogram kernel: counts (B, 256) from blocks_t (TBLOCK, B) u8.
+# ---------------------------------------------------------------------------
+_HIST_TB = 128
+_HIST_CH = 2048
+
+
+def _hist_kernel(s_ref, o_ref):
+    rows = jax.lax.broadcasted_iota(_I32, (256, _HIST_TB), 0)
+
+    def outer(v, acc):
+        def inner(c, cnt):
+            s = s_ref[pl.ds(c * _HIST_CH, _HIST_CH), :].astype(_I32)
+            return cnt + jnp.sum((s == v).astype(_I32), axis=0,
+                                 dtype=_I32)
+        cnt = jax.lax.fori_loop(0, TBLOCK // _HIST_CH, inner,
+                                jnp.zeros((_HIST_TB,), _I32))
+        return acc + jnp.where(rows == v, cnt[None, :], 0)
+
+    o_ref[:] = jax.lax.fori_loop(0, 256, outer,
+                                 jnp.zeros((256, _HIST_TB), _I32))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def hist_blocks(blocks_t: jax.Array, interpret: bool = False) -> jax.Array:
+    """blocks_t (TBLOCK, B) u8 position-major -> counts (B, 256) i32.
+
+    Pad symbols land in bin 0 of their block; the caller subtracts the
+    pad count from bin 0 (cheaper than masking in-kernel)."""
+    B = blocks_t.shape[1]
+    assert B % _HIST_TB == 0, B
+    with jax.enable_x64(False):
+        counts = pl.pallas_call(
+            _hist_kernel,
+            grid=(B // _HIST_TB,),
+            out_shape=jax.ShapeDtypeStruct((256, B), _I32),
+            in_specs=[pl.BlockSpec((TBLOCK, _HIST_TB), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((256, _HIST_TB), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(blocks_t)
+    return counts.T
+
+
+# ---------------------------------------------------------------------------
+# 3. Pre-gather kernel: e (TBLOCK, B) u32 = etab_t[sym, block].
+# ---------------------------------------------------------------------------
+_PG_TB = 128
+_PG_CH = 512
+
+
+def _pregather_kernel(s_ref, tab_ref, o_ref):
+    def rowgroup(rg, _):
+        s8 = s_ref[pl.ds(rg * 8, 8), :].astype(_I32)   # (8, TB)
+        lo = s8 & 7
+        hi = s8 >> 3
+        acc = jnp.zeros((8, _PG_TB), _U32)
+        for t in range(32):
+            sub = tab_ref[t * 8:t * 8 + 8, :]          # (8, TB) u32
+            cand = jnp.take_along_axis(sub, lo, axis=0)
+            acc = jnp.where(hi == t, cand, acc)
+        o_ref[pl.ds(rg * 8, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, _PG_CH // 8, rowgroup, 0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def pregather(blocks_t: jax.Array, etab_t: jax.Array,
+              interpret: bool = False) -> jax.Array:
+    """blocks_t (TBLOCK, B) u8, etab_t (256, B) u32 -> e (TBLOCK, B) u32.
+
+    Legal-gather workaround: Mosaic's dynamic_gather only accepts one
+    (8, W) index tile, so the 256-entry per-block table is processed as
+    32 subtables of 8 rows — one gather per subtable, kept where the
+    symbol's high 5 bits match the subtable id (32 gathered candidates
+    + selects per 8-row group of symbol positions).
+    """
+    B = blocks_t.shape[1]
+    assert B % _PG_TB == 0
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _pregather_kernel,
+            grid=(TBLOCK // _PG_CH, B // _PG_TB),
+            out_shape=jax.ShapeDtypeStruct((TBLOCK, B), _U32),
+            in_specs=[
+                pl.BlockSpec((_PG_CH, _PG_TB), lambda c, t: (c, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((256, _PG_TB), lambda c, t: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_PG_CH, _PG_TB), lambda c, t: (c, t),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(blocks_t, etab_t)
+
+
+# ---------------------------------------------------------------------------
+# 4. Chain kernel.
+# ---------------------------------------------------------------------------
+_CH_TB = 128
+_CH_GC = 512
+
+
+def _u32_to_f32(x):
+    lo = (x & _u32(0x7FFFFFFF)).astype(_I32).astype(jnp.float32)
+    hi = (x >> _u32(31)).astype(_I32).astype(jnp.float32)
+    return lo + hi * jnp.float32(2147483648.0)
+
+
+def _f32_to_u32_small(f):
+    return f.astype(_I32).astype(_U32)
+
+
+def _exact_divmod_k(x, d, split: int):
+    """floor(x/d), x%d for u32 vectors; d << split <= 2^23.
+
+    Two rounds of long division with f32 quotient estimates; integer
+    fix-ups absorb estimate error (within +-2), so hardware f32 divide
+    accuracy never leaks into the result (mirrors ops/rans._exact_divmod
+    but avoids u32<->f32 casts, which Mosaic can't lower)."""
+    d1 = d << _u32(split)
+    q1 = _f32_to_u32_small(_u32_to_f32(x) / _u32_to_f32(d1))
+    r1 = x - q1 * d1
+    half = _u32(0x80000000)
+    for _ in range(2):
+        over = r1 >= half
+        q1 = jnp.where(over, q1 - _u32(1), q1)
+        r1 = jnp.where(over, r1 + d1, r1)
+        under = jnp.logical_and(r1 < half, r1 >= d1)
+        q1 = jnp.where(under, q1 + _u32(1), q1)
+        r1 = jnp.where(under, r1 - d1, r1)
+    q0 = _f32_to_u32_small(_u32_to_f32(r1) / _u32_to_f32(d))
+    r0 = r1 - q0 * d
+    for _ in range(2):
+        over = r0 >= half
+        q0 = jnp.where(over, q0 - _u32(1), q0)
+        r0 = jnp.where(over, r0 + d, r0)
+        under = jnp.logical_and(r0 < half, r0 >= d)
+        q0 = jnp.where(under, q0 + _u32(1), q0)
+        r0 = jnp.where(under, r0 - d, r0)
+    return (q1 << _u32(split)) + q0, r0
+
+
+def _chain_kernel(nc: int, e_ref, bs_ref, words_ref, emits_ref,
+                  xout_ref, x_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        x_ref[:] = jnp.full((8, _CH_TB), RANS_L, _U32)
+
+    base_g = (nc - 1 - c) * _CH_GC
+    bs = bs_ref[:]
+    lane = jax.lax.broadcasted_iota(_I32, (8, _CH_TB), 0)
+
+    def body(i, x):
+        gl = _CH_GC - 1 - i
+        e = e_ref[gl]
+        g = base_g + gl
+        f = e & _u32(0xFFFF)
+        cum = e >> _u32(16)
+        active = (g * 8 + lane) < bs
+        fs = jnp.where(f == _u32(0), _u32(1), f)
+        xmax = fs << _u32(18)
+        emit = jnp.logical_and(active, x >= xmax)
+        words_ref[gl] = (x & _u32(0xFFFF)).astype(jnp.uint16)
+        emits_ref[gl] = emit.astype(jnp.uint8)
+        x1 = jnp.where(emit, x >> _u32(16), x)
+        q, r = _exact_divmod_k(x1, fs, 9)
+        xn = (q << _u32(PROB_BITS)) + r + cum
+        return jnp.where(active, xn, x)
+
+    x_ref[:] = jax.lax.fori_loop(0, _CH_GC, body, x_ref[:])
+
+    @pl.when(c == nc - 1)
+    def _():
+        xout_ref[:] = x_ref[:]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def chain(e: jax.Array, bs_row: jax.Array, interpret: bool = False):
+    """e (G, 8, B) u32 pre-gathered models (reverse-order consumption is
+    internal); bs_row (1, B) i32. Returns (words (G,8,B) u16,
+    emits (G,8,B) u8, x_fin (8, B) u32)."""
+    B = e.shape[2]
+    assert B % _CH_TB == 0
+    nc = G // _CH_GC
+    with jax.enable_x64(False):
+        return _chain_call(e, bs_row, nc, interpret)
+
+
+def _chain_call(e, bs_row, nc, interpret):
+    B = e.shape[2]
+    return pl.pallas_call(
+        partial(_chain_kernel, nc),
+        grid=(B // _CH_TB, nc),
+        out_shape=(jax.ShapeDtypeStruct((G, 8, B), jnp.uint16),
+                   jax.ShapeDtypeStruct((G, 8, B), jnp.uint8),
+                   jax.ShapeDtypeStruct((8, B), _U32)),
+        in_specs=[
+            pl.BlockSpec((_CH_GC, 8, _CH_TB),
+                         lambda t, c: (nc - 1 - c, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CH_TB), lambda t, c: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_CH_GC, 8, _CH_TB),
+                         lambda t, c: (nc - 1 - c, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CH_GC, 8, _CH_TB),
+                         lambda t, c: (nc - 1 - c, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CH_TB), lambda t, c: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, _CH_TB), _U32)],
+        interpret=interpret,
+    )(e, bs_row)
+
+
+# ---------------------------------------------------------------------------
+# 5. Compaction kernel (one block per grid step).
+# ---------------------------------------------------------------------------
+_CP_R = TBLOCK // 128        # 512 rows x 128 positions
+
+
+def _shift_lower(x, sh: int):
+    """out[p] = x[p + sh] over the flattened (R, 128) layout."""
+    hi, lo = sh // 128, sh % 128
+    y = x
+    if hi:
+        y = jnp.concatenate([y[hi:], jnp.zeros((hi, 128), y.dtype)],
+                            axis=0)
+    if lo:
+        ynext = jnp.concatenate([y[1:], jnp.zeros((1, 128), y.dtype)],
+                                axis=0)
+        y = jnp.concatenate([y[:, lo:], ynext[:, :lo]], axis=1)
+    return y
+
+
+def _shift_higher(x, sh: int):
+    """out[p] = x[p - sh] (zeros in front)."""
+    hi, lo = sh // 128, sh % 128
+    y = x
+    if lo:
+        yprev = jnp.concatenate([jnp.zeros((1, 128), y.dtype), y[:-1]],
+                                axis=0)
+        y = jnp.concatenate([yprev[:, 128 - lo:], y[:, :128 - lo]],
+                            axis=1)
+    if hi:
+        y = jnp.concatenate([jnp.zeros((hi, 128), y.dtype), y[:-hi]],
+                            axis=0)
+    return y
+
+
+def _compact_kernel(off_ref, np_ref, words_ref, emits_ref, states_ref,
+                    out_ref, sem):
+    b = pl.program_id(0)
+    w = words_ref[0].astype(_I32)            # (R, 128)
+    em = emits_ref[0].astype(_I32)
+
+    # inclusive prefix sum of em over flattened positions
+    pre = em
+    for k in range(16):
+        pre = pre + _shift_higher(pre, 1 << k)
+
+    rows = jax.lax.broadcasted_iota(_I32, (_CP_R, 128), 0)
+    cols = jax.lax.broadcasted_iota(_I32, (_CP_R, 128), 1)
+    pos = rows * 128 + cols
+    tgt = pre - 1                            # stream slot of kept words
+    s = pos - tgt                            # left shift; >= 0, monotone
+    v = jnp.where(em != 0, w, 0)
+
+    # Monotone log-shift routing with OR-combine: kept elements never
+    # collide (strictly increasing targets); dropped/emptied slots carry
+    # v = 0 so stray arrivals are harmless.
+    for k in range(17):
+        sh = 1 << k
+        cand_v = _shift_lower(v, sh)
+        cand_s = _shift_lower(s, sh)
+        take = (cand_s & sh) != 0
+        stay = (s & sh) == 0
+        v = jnp.where(take, cand_v, 0) | jnp.where(stay, v, 0)
+        s = jnp.where(take, cand_s, jnp.where(stay, s, 0))
+
+    # make room for the 16 lane-state words, then splice them in
+    v = _shift_higher(v, 16)
+    strow = jnp.concatenate(
+        [states_ref[:].astype(_I32), jnp.zeros((1, 112), _I32)], axis=1)
+    v = jnp.where(jnp.logical_and(rows == 0, cols < 16),
+                  jnp.broadcast_to(strow, (_CP_R, 128)), v)
+
+    def scope(vm, dsem):
+        vm[:] = v.astype(jnp.uint16)
+        base = off_ref[b]          # in ALIGN_WORDS units
+        npieces = np_ref[b]
+
+        def piece(i, _):
+            @pl.when(i < npieces)
+            def _():
+                cp = pltpu.make_async_copy(
+                    vm.at[pl.ds(i * 16, 16), :],
+                    out_ref.at[pl.ds((base + i) * 16, 16), :],
+                    dsem)
+                cp.start()
+                cp.wait()
+            return 0
+        jax.lax.fori_loop(0, MAX_PIECES, piece, 0)
+
+    pl.run_scoped(scope, pltpu.VMEM((_CP_R, 128), jnp.uint16),
+                  pltpu.SemaphoreType.DMA)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
+            emits_b: jax.Array, states16: jax.Array, total_rows: int,
+            interpret: bool = False) -> jax.Array:
+    """Assemble per-block payloads into ONE aligned (total_rows, 128)
+    u16 buffer.
+
+    offsets/npieces: (B,) i32 per-block destination (ALIGN_WORDS units)
+    and piece count (<= MAX_PIECES; blocks past the raw-escape bound are
+    truncated — their payload is never read).
+    words_b/emits_b: (B, 512, 128) position-major per block.
+    states16: (B, 16) i32 final lane states as LE u16 halves.
+    Rows not covered by any block's pieces are uninitialized.
+    """
+    B = words_b.shape[0]
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, _CP_R, 128),
+                             lambda b, off, np_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _CP_R, 128),
+                             lambda b, off, np_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda b, off, np_: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        )
+        return pl.pallas_call(
+            _compact_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((total_rows, 128), jnp.uint16),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(offsets, npieces, words_b, emits_b, states16)
