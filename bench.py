@@ -381,11 +381,12 @@ def bench_reference(fld, tol, workdir, decode=False):
 
 
 def main():
-    # Default headline is the north-star shape (1024^3, BASELINE
-    # config[4]'s single-chip stand-in); WR_BENCH_N=512 for the shorter
-    # run. Large shapes default to one native/reference pair and skip
-    # the hybrid pipeline to stay inside the driver's budget.
-    n = int(os.environ.get("WR_BENCH_N", "1024"))
+    # Headline at 512^3 (r1/r2-comparable; the tunnel link runs at only
+    # ~16-30 MB/s this round, so full-field device transfers at 1024^3
+    # alone would exceed the driver budget). The north-star 1024^3 row
+    # (BASELINE config[4] single-chip stand-in) runs host-side after the
+    # main suite unless WR_BENCH_1024=0.
+    n = int(os.environ.get("WR_BENCH_N", "512"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
     pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "3"))
     if n >= 1024:
@@ -536,6 +537,34 @@ def main():
         line["onchip_rans_dec_gbps"] = round(sg / c["rans_dec_s"], 3)
     if verify_env is not None:
         line["verified_on_chip"] = True
+    # north-star shape, host pipelines (full-field device transfers at
+    # 1024^3 don't fit the driver budget on this round's ~16 MB/s link)
+    if n == 512 and os.environ.get("WR_BENCH_1024") != "0":
+        try:
+            del fld
+            f2 = make_field(1024)
+            g2 = f2.nbytes / 1e9
+            r1k = bench_native(f2, tol, reps=1)
+            log(f"1024^3 native: encode {r1k['encode_s']:.1f}s "
+                f"({g2/r1k['encode_s']:.3f} GB/s), decode "
+                f"{r1k['decode_s']:.1f}s, err {r1k['err']:.2e}")
+            ref1k = None
+            if os.environ.get("WR_BENCH_SKIP_REF") != "1":
+                ref1k = bench_reference(f2, tol,
+                                        REPO / "build" / "bench1k")
+                if ref1k:
+                    log(f"1024^3 reference: encode "
+                        f"{ref1k['encode_s']:.1f}s")
+            line["n1024"] = {
+                "native_encode_gbps": round(g2 / r1k["encode_s"], 4),
+                "native_decode_gbps": round(g2 / r1k["decode_s"], 4),
+                "ratio": round(r1k["nbytes_out"] / r1k["nbytes_in"], 4),
+                "vs_reference": (round(
+                    ref1k["encode_s"] / r1k["encode_s"], 3)
+                    if ref1k else None),
+            }
+        except Exception as e:
+            log(f"  1024^3 row failed: {type(e).__name__}: {e}")
     print(json.dumps(line))
     return dict(native=rn, ref=ref, tpu_full=rf, tpu_hybrid=rt,
                 tpu_full_tol2=rf2, native_tol2=rn2,

@@ -400,9 +400,12 @@ def _prep_kernel_inputs(planes: jax.Array, bs_d: jax.Array, nb: int,
     e = rk.pregather(blocks_t, etab_t).reshape(TBLOCK // 8, 8, Bpad)
     words, emits, x_fin = rk.chain(e, bs_d[None, :])
     nwords = jnp.sum(emits.astype(_I32), axis=(0, 1), dtype=_I32)
-    st = jnp.stack([x_fin & _u32(0xFFFF), x_fin >> _u32(16)],
-                   axis=2).transpose(1, 0, 2).reshape(Bpad, 16)
-    return blocks, words, emits, st.astype(_I32), freqs, nsym, nwords
+    st16 = jnp.stack([x_fin & _u32(0xFFFF), x_fin >> _u32(16)],
+                     axis=2).transpose(1, 0, 2).reshape(Bpad, 16)
+    # pad to the (B, 8, 128) layout compact() needs (legal block shape)
+    st = jnp.zeros((Bpad, 8, 128), _I32).at[:, 0, :16].set(
+        st16.astype(_I32))
+    return blocks, words, emits, st, freqs, nsym, nwords
 
 
 @partial(jax.jit, static_argnums=(5,))

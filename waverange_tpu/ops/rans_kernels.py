@@ -72,41 +72,52 @@ def _u32(x):
 # 1. Histogram kernel: counts (B, 256) from blocks_t (TBLOCK, B) u8.
 # ---------------------------------------------------------------------------
 _HIST_TB = 128
-_HIST_CH = 2048
+_HIST_RC = 8192   # symbol rows per grid step (1 MB u8 block)
+_HIST_CH = 2048   # rows per inner sweep chunk
 
 
-def _hist_kernel(s_ref, o_ref):
+def _hist_kernel(nc: int, s_ref, o_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        o_ref[:] = jnp.zeros((256, _HIST_TB), _I32)
+
     rows = jax.lax.broadcasted_iota(_I32, (256, _HIST_TB), 0)
 
     def outer(v, acc):
-        def inner(c, cnt):
-            s = s_ref[pl.ds(c * _HIST_CH, _HIST_CH), :].astype(_I32)
+        def inner(i, cnt):
+            s = s_ref[pl.ds(i * _HIST_CH, _HIST_CH), :].astype(_I32)
             return cnt + jnp.sum((s == v).astype(_I32), axis=0,
                                  dtype=_I32)
-        cnt = jax.lax.fori_loop(0, TBLOCK // _HIST_CH, inner,
+        cnt = jax.lax.fori_loop(0, _HIST_RC // _HIST_CH, inner,
                                 jnp.zeros((_HIST_TB,), _I32))
         return acc + jnp.where(rows == v, cnt[None, :], 0)
 
-    o_ref[:] = jax.lax.fori_loop(0, 256, outer,
-                                 jnp.zeros((256, _HIST_TB), _I32))
+    o_ref[:] = jax.lax.fori_loop(0, 256, outer, o_ref[:])
 
 
 @partial(jax.jit, static_argnums=(1,))
 def hist_blocks(blocks_t: jax.Array, interpret: bool = False) -> jax.Array:
     """blocks_t (TBLOCK, B) u8 position-major -> counts (B, 256) i32.
 
+    Grid (tiles, row-chunks): the output tile is revisited across the
+    sequential row-chunk dimension and accumulates in VMEM (the whole
+    65536-row column set would need 8 MB x 2 pipeline buffers).
     Pad symbols land in bin 0 of their block; the caller subtracts the
     pad count from bin 0 (cheaper than masking in-kernel)."""
     B = blocks_t.shape[1]
     assert B % _HIST_TB == 0, B
+    nc = TBLOCK // _HIST_RC
     with jax.enable_x64(False):
         counts = pl.pallas_call(
-            _hist_kernel,
-            grid=(B // _HIST_TB,),
+            partial(_hist_kernel, nc),
+            grid=(B // _HIST_TB, nc),
             out_shape=jax.ShapeDtypeStruct((256, B), _I32),
-            in_specs=[pl.BlockSpec((TBLOCK, _HIST_TB), lambda t: (0, t),
+            in_specs=[pl.BlockSpec((_HIST_RC, _HIST_TB),
+                                   lambda t, c: (c, t),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((256, _HIST_TB), lambda t: (0, t),
+            out_specs=pl.BlockSpec((256, _HIST_TB), lambda t, c: (0, t),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(blocks_t)
@@ -301,6 +312,8 @@ def _shift_lower(x, sh: int):
     """out[p] = x[p + sh] over the flattened (R, 128) layout."""
     hi, lo = sh // 128, sh % 128
     y = x
+    if hi >= x.shape[0]:
+        return jnp.zeros_like(x)
     if hi:
         y = jnp.concatenate([y[hi:], jnp.zeros((hi, 128), y.dtype)],
                             axis=0)
@@ -315,6 +328,8 @@ def _shift_higher(x, sh: int):
     """out[p] = x[p - sh] (zeros in front)."""
     hi, lo = sh // 128, sh % 128
     y = x
+    if hi >= x.shape[0]:
+        return jnp.zeros_like(x)
     if lo:
         yprev = jnp.concatenate([jnp.zeros((1, 128), y.dtype), y[:-1]],
                                 axis=0)
@@ -346,8 +361,9 @@ def _compact_kernel(off_ref, np_ref, words_ref, emits_ref, states_ref,
 
     # Monotone log-shift routing with OR-combine: kept elements never
     # collide (strictly increasing targets); dropped/emptied slots carry
-    # v = 0 so stray arrivals are harmless.
-    for k in range(17):
+    # v = 0 so stray arrivals are harmless. Kept shifts are <= 65535
+    # (tgt >= 0), so 16 stages route everything that matters.
+    for k in range(16):
         sh = 1 << k
         cand_v = _shift_lower(v, sh)
         cand_s = _shift_lower(s, sh)
@@ -358,8 +374,7 @@ def _compact_kernel(off_ref, np_ref, words_ref, emits_ref, states_ref,
 
     # make room for the 16 lane-state words, then splice them in
     v = _shift_higher(v, 16)
-    strow = jnp.concatenate(
-        [states_ref[:].astype(_I32), jnp.zeros((1, 112), _I32)], axis=1)
+    strow = states_ref[0][0:1, :].astype(_I32)      # (1, 128), cols 0-15
     v = jnp.where(jnp.logical_and(rows == 0, cols < 16),
                   jnp.broadcast_to(strow, (_CP_R, 128)), v)
 
@@ -395,7 +410,8 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
     and piece count (<= MAX_PIECES; blocks past the raw-escape bound are
     truncated — their payload is never read).
     words_b/emits_b: (B, 512, 128) position-major per block.
-    states16: (B, 16) i32 final lane states as LE u16 halves.
+    states16: (B, 8, 128) i32, the 16 LE u16 halves of the final lane
+    states in [:, 0, :16] (padded to a legal Mosaic block shape).
     Rows not covered by any block's pieces are uninitialized.
     """
     B = words_b.shape[0]
@@ -410,7 +426,7 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
                 pl.BlockSpec((1, _CP_R, 128),
                              lambda b, off, np_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 16), lambda b, off, np_: (b, 0),
+                pl.BlockSpec((1, 8, 128), lambda b, off, np_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
