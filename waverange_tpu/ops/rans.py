@@ -670,6 +670,56 @@ def _parse_to_batch(streams: list[bytes], ns: list[int]):
     return batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _dchain_prep(freqs_a, pay2d, Bp: int):
+    """Device glue for the decode kernel: cum tables + payload layout
+    (8, 4096, B) from the uploaded (B, 32768) u16 word rows."""
+    cum = jnp.cumsum(freqs_a, axis=1, dtype=_I32) - freqs_a
+    cum_t = cum.T                                     # (256, B)
+    pay = pay2d.reshape(Bp, 4096, 8).transpose(2, 1, 0)
+    return cum_t, pay
+
+
+def _decode_planes_kernels(streams: list[bytes], n: int) -> jax.Array:
+    """Kernel-pipeline device decode (ops/rans_kernels.dchain)."""
+    from . import rans_kernels as rk
+
+    L = len(streams)
+    batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
+        _parse_to_batch(streams, [n] * L)
+    B0 = freqs_a.shape[0]
+    Bp = max(-(-B0 // 128) * 128, 128)
+    if Bp > B0:
+        freqs_a = np.pad(freqs_a, ((0, Bp - B0), (0, 0)))
+        freqs_a[B0:, 0] = PROB_SCALE
+        states_a = np.pad(states_a, ((0, Bp - B0), (0, 0)),
+                          constant_values=RANS_L)
+        wlen_a = np.pad(wlen_a, (0, Bp - B0))
+        bs_a = np.pad(bs_a, (0, Bp - B0))
+    pay_h = np.zeros((Bp, 32768), np.uint16)
+    W = min(words_a.shape[1], 32768)
+    pay_h[:words_a.shape[0], :W] = words_a[:, :W]
+    cum_t, pay = _dchain_prep(jnp.asarray(freqs_a.astype(np.int32)),
+                              jnp.asarray(pay_h), Bp)
+    syms = rk.dchain(cum_t, jnp.asarray(states_a.T.copy()),
+                     jnp.asarray(wlen_a.astype(np.int32))[None, :],
+                     jnp.asarray(bs_a.astype(np.int32))[None, :], pay)
+    nb = -(-n // TBLOCK)
+    drop = L * nb
+    slots_b = np.full(Bp, drop, np.int32)
+    for i, (ip, pos, bsz, _, _) in enumerate(batch):
+        slots_b[i] = ip * nb + pos // TBLOCK
+    Rpad = _bucket(max(len(raws), 1))
+    rawbuf = np.zeros((Rpad, TBLOCK), np.uint8)
+    slots_r = np.full(Rpad, drop, np.int32)
+    for i, (ip, pos, bsz, rb) in enumerate(raws):
+        rawbuf[i, :bsz] = np.frombuffer(rb, np.uint8)
+        slots_r[i] = ip * nb + pos // TBLOCK
+    return _compose_planes(syms.T, jnp.asarray(slots_b),
+                           jnp.asarray(rawbuf), jnp.asarray(slots_r),
+                           L, nb, n)
+
+
 def decode_planes_device(streams: list[bytes], n: int,
                          unroll: int = 4) -> jax.Array:
     """Decode L same-length v2 streams to a device-resident (L, n) u8.
@@ -678,7 +728,12 @@ def decode_planes_device(streams: list[bytes], n: int,
     per-block models, and raw-block bytes are uploaded; the symbol planes
     stay in HBM for the accumulate/inverse-wavelet stage. Raw blocks skip
     the scan entirely and are scattered into their slots.
+
+    On real accelerators this runs the Pallas decode kernel
+    (ops/rans_kernels.dchain); the sweep-scan remains the CPU path.
     """
+    if _use_kernels() and n > 0 and len(streams) > 0:
+        return _decode_planes_kernels(streams, n)
     L = len(streams)
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
         _parse_to_batch(streams, [n] * L)

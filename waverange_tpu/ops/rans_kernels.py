@@ -439,3 +439,216 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(offsets, npieces, words_b, emits_b, states16)
+
+
+# ---------------------------------------------------------------------------
+# 6. Decode kernel.
+#
+# Per tile of TB blocks the 8 lane states advance through G groups.
+# slot -> (symbol, freq, cumExcl) is resolved by a 256-iteration sweep
+# over the per-block cumulative table (Mosaic has no usable gather for
+# 16K-entry slot tables), and renorm words are consumed through a
+# deterministic-cadence window hierarchy whose rebuilds use only static
+# middle-dim slices + K-way selects, plus one legal (8, TB) row-gather
+# per window column on refill:
+#
+#   refill <- W1 (16 cols = 128 words/block, rebuilt every 4 steps,
+#                 7-way select from L2 at 64-word granules)
+#          <- L2 (96 cols = 768 words, rebuilt every 16 steps,
+#                 8-way select from L3 at 256-word granules)
+#          <- L3 (384 cols = 3072 words, rebuilt every 128 steps by a
+#                 30-way select from the tile's full payload, which one
+#                 legal whole-tile DMA parks in VMEM at chunk 0)
+#
+# Coverage proof sketch (consumption <= 8 words/block/step, lookahead
+# <= 8): at each L3 refill cur_rel3 in [0,1024), growth 128*8 = 1024,
+# L2 reach <= 7*256+768 = 2560 <= 3072; at each L2 rebuild cur_rel2 in
+# [0,256), growth 16*8 = 128, W1 reach <= 5*64+128 = 448 <= 768; at
+# each W1 rebuild cur_rel1 in [0,64), growth 4*8 = 32, lookahead 8
+# < 128. Payload HBM layout: (B, 8, 4096) u16, word w of block b at
+# [b, w & 7, w >> 3]; slots past wlen are zero and never consumed
+# (widx < wlen mirrors the C++ decoder's `w + 1 < wend` guard).
+# ---------------------------------------------------------------------------
+_DC_TB = 128
+_DC_GC = 512
+_DC_NC = G // _DC_GC
+_W1C = 16
+_L2C = 96
+_L3C = 384
+_PAYC = 4096
+
+
+def _row_prefix_incl(x):
+    """Inclusive prefix sum along the 8-row (lane) axis of (8, TB)."""
+    for sh in (1, 2, 4):
+        x = x + jnp.concatenate(
+            [jnp.zeros((sh, x.shape[1]), x.dtype), x[:-sh]], axis=0)
+    return x
+
+
+def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
+               x_ref, cur_ref, payv_ref, l3_ref, l3b_ref, l2_ref,
+               l2b_ref, w1_ref, w1b_ref, sem):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    TB = _DC_TB
+    lane = jax.lax.broadcasted_iota(_I32, (8, TB), 0)
+    wlen = wlen_ref[:]                       # (1, TB)
+    bs = bs_ref[:]
+
+    @pl.when(c == 0)
+    def _():
+        x_ref[:] = x0_ref[:]
+        cur_ref[:] = jnp.zeros((1, TB), _I32)
+        cp = pltpu.make_async_copy(
+            pay_ref.at[:, :, pl.ds(t * TB, TB)], payv_ref, sem)
+        cp.start()
+        cp.wait()
+
+    def l3_refill():
+        g3 = jnp.minimum(cur_ref[:] >> 10, 29)      # (1, TB)
+        out = jnp.zeros((8, _L3C, TB), jnp.uint16)
+        for p in range(30):
+            cand = payv_ref[:, p * 128:p * 128 + _L3C, :]
+            out = jnp.where(jnp.broadcast_to((g3[0] == p)[None, None, :],
+                                             (8, _L3C, TB)), cand, out)
+        l3_ref[:] = out
+        l3b_ref[:] = g3 * 1024
+
+    def l2_rebuild():
+        rel = cur_ref[:] - l3b_ref[:]                     # (1, TB)
+        g2 = jnp.minimum(rel >> 8, (_L3C * 8 - _L2C * 8) // 256)
+        out = jnp.zeros((8, _L2C, TB), jnp.uint16)
+        for p in range(8):
+            cand = l3_ref[:, p * 32:p * 32 + _L2C, :]
+            out = jnp.where(jnp.broadcast_to((g2[0] == p)[None, None, :],
+                                             (8, _L2C, TB)), cand, out)
+        l2_ref[:] = out
+        l2b_ref[:] = l3b_ref[:] + g2 * 256
+
+    def w1_rebuild():
+        rel = cur_ref[:] - l2b_ref[:]
+        c1 = jnp.minimum(rel >> 6, (_L2C * 8 - _W1C * 8) // 64)
+        out = jnp.zeros((8, _W1C, TB), jnp.uint16)
+        for p in range(7):
+            cand = l2_ref[:, p * 8:p * 8 + _W1C, :]
+            out = jnp.where(jnp.broadcast_to(
+                (c1[0] == p)[None, None, :], (8, _W1C, TB)), cand, out)
+        w1_ref[:] = out
+        w1b_ref[:] = l2b_ref[:] + c1 * 64
+
+    def step(i, _):
+        @pl.when(i % 128 == 0)
+        def _():
+            l3_refill()
+
+        @pl.when(i % 16 == 0)
+        def _():
+            l2_rebuild()
+
+        @pl.when(i % 4 == 0)
+        def _():
+            w1_rebuild()
+
+        x = x_ref[:]
+        cur = cur_ref[:]
+        slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)     # (8, TB)
+
+        sym = jnp.zeros((8, TB), _I32)
+        cum_e = jnp.zeros((8, TB), _I32)
+        cum_i = jnp.full((8, TB), PROB_SCALE, _I32)
+
+        def sweep(sc, acc):
+            sym, cum_e, cum_i = acc
+            cs32 = cum_ref[pl.ds(sc * 32, 32), :]          # (32, TB)
+            for j in range(32):
+                csj = cs32[j:j + 1, :]                     # (1, TB)
+                m = csj <= slot
+                sym = sym + m.astype(_I32)
+                cum_e = jnp.where(m, jnp.broadcast_to(csj, (8, TB)),
+                                  cum_e)
+                cum_i = jnp.where(
+                    jnp.logical_and(jnp.logical_not(m),
+                                    cum_i == PROB_SCALE),
+                    jnp.broadcast_to(csj, (8, TB)), cum_i)
+            return sym, cum_e, cum_i
+
+        sym, cum_e, cum_i = jax.lax.fori_loop(
+            0, 8, sweep, (sym, cum_e, cum_i))
+        sym = sym - 1
+        f = (cum_i - cum_e).astype(_U32)
+        offv = (slot - cum_e).astype(_U32)
+
+        g = c * _DC_GC + i
+        active = (g * 8 + lane) < bs
+        xn = f * (x >> _u32(PROB_BITS)) + offv
+        need = jnp.logical_and(active, xn < _u32(RANS_L))
+        ni = need.astype(_I32)
+        incl = _row_prefix_incl(ni)
+        r = incl - ni
+        widx = cur + r                                     # (8, TB)
+        can = jnp.logical_and(need, widx < wlen)
+
+        wrel = widx - w1b_ref[:]
+        wrow = wrel & 7
+        wcol = wrel >> 3                                   # in [0, 16)
+        word = jnp.zeros((8, TB), _I32)
+        for cc in range(_W1C):
+            col = w1_ref[:, cc, :].astype(_I32)            # (8, TB)
+            gcc = jnp.take_along_axis(col, wrow, axis=0)
+            word = jnp.where(wcol == cc, gcc, word)
+
+        xr = jnp.where(can, (xn << _u32(16)) | word.astype(_U32), xn)
+        x_ref[:] = jnp.where(active, xr, x)
+        cur_ref[:] = cur + jnp.sum(can.astype(_I32), axis=0,
+                                   dtype=_I32)[None, :]
+        syms_ref[pl.ds(i * 8, 8), :] = sym.astype(jnp.uint8)
+        return 0
+
+    jax.lax.fori_loop(0, _DC_GC, step, 0)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
+    """Decode the lane chains for B blocks.
+
+    cum_t (256, B) i32 exclusive cumulative tables; x0 (8, B) u32 lane
+    states; wlen_row/bs_row (1, B) i32; pay (8, 4096, B) u16 payload
+    words (word w of block b at [w & 7, w >> 3, b]).
+    Returns syms (TBLOCK, B) u8 (position-major).
+    """
+    B = cum_t.shape[1]
+    assert B % _DC_TB == 0
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _dc_kernel,
+            grid=(B // _DC_TB, _DC_NC),
+            out_shape=jax.ShapeDtypeStruct((TBLOCK, B), jnp.uint8),
+            in_specs=[
+                pl.BlockSpec((256, _DC_TB), lambda t, c: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _DC_TB), lambda t, c: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DC_TB), lambda t, c: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DC_TB), lambda t, c: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full payload
+            ],
+            out_specs=pl.BlockSpec((_DC_GC * 8, _DC_TB),
+                                   lambda t, c: (c, t),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((8, _DC_TB), _U32),       # x
+                pltpu.VMEM((1, _DC_TB), _I32),       # cur
+                pltpu.VMEM((8, _PAYC, _DC_TB), jnp.uint16),  # payload
+                pltpu.VMEM((8, _L3C, _DC_TB), jnp.uint16),
+                pltpu.VMEM((1, _DC_TB), _I32),       # l3 base
+                pltpu.VMEM((8, _L2C, _DC_TB), jnp.uint16),
+                pltpu.VMEM((1, _DC_TB), _I32),       # l2 base
+                pltpu.VMEM((8, _W1C, _DC_TB), jnp.uint16),
+                pltpu.VMEM((1, _DC_TB), _I32),       # w1 base
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(cum_t, x0, wlen_row, bs_row, pay)
