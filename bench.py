@@ -91,7 +91,7 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
     # first download through the axon tunnel sets up a transfer program
     # that can take minutes; subsequent transfers run at full speed).
     # A watchdog abandons the TPU path if warm-up exceeds the budget.
-    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "420"))
+    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "900"))
     log(f"  compiling device step + warming transfer path "
         f"(budget {budget:.0f}s)...")
     done = []
@@ -183,7 +183,7 @@ def bench_tpu_full(fld, tol, n_blocks=None):
     from functools import partial
     step = jax.jit(partial(_encode_step_impl, wtflag=True, levels=4))
 
-    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "420"))
+    budget = float(os.environ.get("WR_BENCH_TPU_WARMUP_S", "900"))
     log(f"  compiling device pipeline (budget {budget:.0f}s)...")
     done = []
 
@@ -209,6 +209,23 @@ def bench_tpu_full(fld, tol, n_blocks=None):
     jax.block_until_ready(step(x_w, *consts))
     comp["step_s"] = time.time() - t0
     planes_w = out_w[0][:nlay_w]
+    # compute-only: blockify+histogram+normalize+pregather+chain in one
+    # device program (compaction ~+45 ms; no container download) — the
+    # chip's own rate as opposed to the tunnel's
+    try:
+        import jax.numpy as jnp2
+        nlw = planes_w.shape[0]
+        nbk = -(-n // rans.TBLOCK)
+        Bp = -(-(nlw * nbk) // 128) * 128
+        bs_d = jnp2.asarray(rans._plane_bs(nlw, nbk, n, Bp), jnp2.int32)
+        jax.block_until_ready(rans._prep_kernel_inputs(
+            planes_w, bs_d, nbk, Bp))
+        t0 = time.time()
+        jax.block_until_ready(rans._prep_kernel_inputs(
+            planes_w, bs_d, nbk, Bp))
+        comp["rans_enc_compute_s"] = time.time() - t0
+    except Exception:
+        pass
     t0 = time.time()
     s2 = rans.encode_planes_device(planes_w, n)
     comp["rans_enc_s"] = time.time() - t0  # incl. compressed download
@@ -224,11 +241,17 @@ def bench_tpu_full(fld, tol, n_blocks=None):
     comp["dstep_s"] = time.time() - t0
     slab_gb = slabs[0].nbytes / 1e9
     comp["slab_gb"] = slab_gb
-    log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs (%.2f GB/s), "
-        "rans dec %.3fs (%.2f GB/s), decode step %.3fs" % (
+    log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs (%.2f GB/s "
+        "incl link), rans dec %.3fs (%.2f GB/s incl link), decode step "
+        "%.3fs" % (
             f"{slabs[0].shape}", comp["step_s"], comp["rans_enc_s"],
             slab_gb / comp["rans_enc_s"], comp["rans_dec_s"],
             slab_gb / comp["rans_dec_s"], comp["dstep_s"]))
+    if "rans_enc_compute_s" in comp:
+        log("  on-chip compute-only: rans encode kernels %.3fs "
+            "(%.2f GB/s of symbols; the link adds the rest)" % (
+                comp["rans_enc_compute_s"],
+                slab_gb / comp["rans_enc_compute_s"]))
 
     # --- end-to-end encode: upload raw, download compressed only ---
     results = [None] * n_blocks
@@ -535,6 +558,9 @@ def main():
         sg = c.get("slab_gb", gib / 8)
         line["onchip_rans_enc_gbps"] = round(sg / c["rans_enc_s"], 3)
         line["onchip_rans_dec_gbps"] = round(sg / c["rans_dec_s"], 3)
+        if "rans_enc_compute_s" in c:
+            line["onchip_rans_enc_compute_gbps"] = round(
+                sg / c["rans_enc_compute_s"], 3)
     if verify_env is not None:
         line["verified_on_chip"] = True
     # north-star shape, host pipelines (full-field device transfers at

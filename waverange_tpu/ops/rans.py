@@ -729,10 +729,14 @@ def decode_planes_device(streams: list[bytes], n: int,
     stay in HBM for the accumulate/inverse-wavelet stage. Raw blocks skip
     the scan entirely and are scattered into their slots.
 
-    On real accelerators this runs the Pallas decode kernel
-    (ops/rans_kernels.dchain); the sweep-scan remains the CPU path.
+    The Pallas decode kernel (ops/rans_kernels.dchain) is opt-in via
+    WR_RANS_DECODE=1: its window hierarchy is correct by construction
+    but the 30-way payload selects currently stall this stack's Mosaic
+    compiler, so the sweep-scan remains the default device decode.
     """
-    if _use_kernels() and n > 0 and len(streams) > 0:
+    import os
+    if (os.environ.get("WR_RANS_DECODE") == "1" and _use_kernels()
+            and n > 0 and len(streams) > 0):
         return _decode_planes_kernels(streams, n)
     L = len(streams)
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
