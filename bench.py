@@ -411,7 +411,7 @@ def main():
     # main suite unless WR_BENCH_1024=0.
     n = int(os.environ.get("WR_BENCH_N", "512"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
-    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "3"))
+    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "2"))
     if n >= 1024:
         os.environ.setdefault("WR_BENCH_SKIP_HYBRID", "1")
     fld = make_field(n)
@@ -474,7 +474,7 @@ def main():
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               1.0)
             kind = jax.devices()[0].device_kind
-            if os.environ.get("WR_BENCH_VERIFY") == "1":
+            if os.environ.get("WR_BENCH_VERIFY", "1") != "0":
                 log(f"on-chip verification on {kind}...")
                 verify_env = verify_on_chip(fld, tol)
             log(f"tpu-full pipeline on {kind}...")
