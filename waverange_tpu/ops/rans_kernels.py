@@ -507,34 +507,39 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
 
     def l3_refill():
         g3 = jnp.minimum(cur_ref[:] >> 10, 29)      # (1, TB)
-        out = jnp.zeros((8, _L3C, TB), jnp.uint16)
-        for p in range(30):
-            cand = payv_ref[:, p * 128:p * 128 + _L3C, :]
-            out = jnp.where(jnp.broadcast_to((g3[0] == p)[None, None, :],
-                                             (8, _L3C, TB)), cand, out)
-        l3_ref[:] = out
+
+        # fori + dynamic middle-dim slice keeps the traced IR small
+        # (the 30-way unrolled select stalled the Mosaic compiler)
+        def pick(p, out):
+            cand = payv_ref[:, pl.ds(p * 128, _L3C), :]
+            return jnp.where(
+                jnp.broadcast_to((g3[0] == p)[None, None, :],
+                                 (8, _L3C, TB)), cand, out)
+        l3_ref[:] = jax.lax.fori_loop(
+            0, 30, pick, jnp.zeros((8, _L3C, TB), jnp.uint16))
         l3b_ref[:] = g3 * 1024
 
     def l2_rebuild():
         rel = cur_ref[:] - l3b_ref[:]                     # (1, TB)
         g2 = jnp.minimum(rel >> 8, (_L3C * 8 - _L2C * 8) // 256)
-        out = jnp.zeros((8, _L2C, TB), jnp.uint16)
-        for p in range(8):
-            cand = l3_ref[:, p * 32:p * 32 + _L2C, :]
-            out = jnp.where(jnp.broadcast_to((g2[0] == p)[None, None, :],
-                                             (8, _L2C, TB)), cand, out)
-        l2_ref[:] = out
+        def pick(p, out):
+            cand = l3_ref[:, pl.ds(p * 32, _L2C), :]
+            return jnp.where(
+                jnp.broadcast_to((g2[0] == p)[None, None, :],
+                                 (8, _L2C, TB)), cand, out)
+        l2_ref[:] = jax.lax.fori_loop(
+            0, 8, pick, jnp.zeros((8, _L2C, TB), jnp.uint16))
         l2b_ref[:] = l3b_ref[:] + g2 * 256
 
     def w1_rebuild():
         rel = cur_ref[:] - l2b_ref[:]
         c1 = jnp.minimum(rel >> 6, (_L2C * 8 - _W1C * 8) // 64)
-        out = jnp.zeros((8, _W1C, TB), jnp.uint16)
-        for p in range(7):
-            cand = l2_ref[:, p * 8:p * 8 + _W1C, :]
-            out = jnp.where(jnp.broadcast_to(
+        def pick(p, out):
+            cand = l2_ref[:, pl.ds(p * 8, _W1C), :]
+            return jnp.where(jnp.broadcast_to(
                 (c1[0] == p)[None, None, :], (8, _W1C, TB)), cand, out)
-        w1_ref[:] = out
+        w1_ref[:] = jax.lax.fori_loop(
+            0, 7, pick, jnp.zeros((8, _W1C, TB), jnp.uint16))
         w1b_ref[:] = l2b_ref[:] + c1 * 64
 
     def step(i, _):
