@@ -730,9 +730,11 @@ def decode_planes_device(streams: list[bytes], n: int,
     the scan entirely and are scattered into their slots.
 
     The Pallas decode kernel (ops/rans_kernels.dchain) is opt-in via
-    WR_RANS_DECODE=1: its window hierarchy is correct by construction
-    but the 30-way payload selects currently stall this stack's Mosaic
-    compiler, so the sweep-scan remains the default device decode.
+    WR_RANS_DECODE=1: it is hardware-validated byte-correct (round-3
+    A/B vs the C++ coder) but only ~1.3x the sweep-scan today — the
+    256-iteration cum sweep runs on (8, 128) vectors whose per-op issue
+    overhead dominates — so the simpler sweep-scan remains the default
+    device decode until the sweep is widened.
     """
     import os
     if (os.environ.get("WR_RANS_DECODE") == "1" and _use_kernels()

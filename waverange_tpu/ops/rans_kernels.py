@@ -470,7 +470,7 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
 # (widx < wlen mirrors the C++ decoder's `w + 1 < wend` guard).
 # ---------------------------------------------------------------------------
 _DC_TB = 128
-_DC_GC = 512
+_DC_GC = 256
 _DC_NC = G // _DC_GC
 _W1C = 16
 _L2C = 96
@@ -628,6 +628,8 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
         return pl.pallas_call(
             _dc_kernel,
             grid=(B // _DC_TB, _DC_NC),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=jax.ShapeDtypeStruct((TBLOCK, B), jnp.uint8),
             in_specs=[
                 pl.BlockSpec((256, _DC_TB), lambda t, c: (0, t),
