@@ -52,6 +52,7 @@ def run_job(path: Path):
     out = io.StringIO()
     status = "ok"
     t0 = time.time()
+    code = ""
     try:
         code = path.read_text()
         g = dict(jax=jax, jnp=jnp, np=np, time=time, REPO=REPO,

@@ -1573,7 +1573,9 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   if (const char* e = getenv("WR_NUM_THREADS")) nthreads = atoi(e);
   if (nthreads < 1) nthreads = 1;
   if (nthreads > kLayersMax) nthreads = kLayersMax;
-  const int nworkers = nthreads > 1 ? nthreads - 1 : 1;
+  // nthreads==1 means strictly serial: 0 workers, the main thread's
+  // trailing work() call does all coding after quantization.
+  const int nworkers = nthreads > 1 ? nthreads - 1 : 0;
   const int slots = std::min(kLayersMax, nthreads + 2);
   std::vector<u8> planebuf(u64(slots) * n);
   std::vector<u8> streams[kLayersMax];
@@ -1586,6 +1588,22 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   bool layer_done[kLayersMax] = {false};
 
   const int gw = std::min(2, il_width(false));
+  auto code_claimed = [&](int l, int cnt) {
+    if (coder == 0 && cnt == 2) {
+      const u8* p[2] = {planebuf.data() + u64(l % slots) * n,
+                        planebuf.data() + u64((l + 1) % slots) * n};
+      encode_planes_il<2>(p, n, &streams[l]);
+    } else {
+      for (int k = 0; k < cnt; ++k)
+        encode_plane_c(coder, planebuf.data() + u64((l + k) % slots) * n,
+                       n, streams[l + k]);
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      for (int k = 0; k < cnt; ++k) layer_done[l + k] = true;
+    }
+    cv.notify_all();
+  };
   auto work = [&]() {
     int l, cnt;
     for (;;) {
@@ -1606,20 +1624,23 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
         cnt = std::min(gw, n_queued - next_claim);
         next_claim += cnt;
       }
-      if (coder == 0 && cnt == 2) {
-        const u8* p[2] = {planebuf.data() + u64(l % slots) * n,
-                          planebuf.data() + u64((l + 1) % slots) * n};
-        encode_planes_il<2>(p, n, &streams[l]);
-      } else {
-        for (int k = 0; k < cnt; ++k)
-          encode_plane_c(coder, planebuf.data() + u64((l + k) % slots) * n,
-                         n, streams[l + k]);
-      }
+      code_claimed(l, cnt);
+    }
+  };
+  // Serial mode (0 workers): the main thread itself codes already-
+  // queued layers before reusing their slots — the wait below would
+  // otherwise deadlock with nobody to set layer_done.
+  auto drain_serial = [&](int need_layer) {
+    while (!layer_done[need_layer]) {
+      int l, cnt;
       {
         std::lock_guard<std::mutex> lk(mu);
-        for (int k = 0; k < cnt; ++k) layer_done[l + k] = true;
+        if (next_claim >= n_queued) break;
+        l = next_claim;
+        cnt = std::min(gw, n_queued - next_claim);
+        next_claim += cnt;
       }
-      cv.notify_all();
+      code_claimed(l, cnt);
     }
   };
   std::vector<std::thread> ths;
@@ -1634,6 +1655,7 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
   for (;;) {
     if (ilay >= slots) {
       // slot reuse: the specific layer that used this slot must be done
+      if (nworkers == 0) drain_serial(ilay - slots);
       std::unique_lock<std::mutex> lk(mu);
       cv.wait(lk, [&] { return layer_done[ilay - slots]; });
     }

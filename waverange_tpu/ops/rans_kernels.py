@@ -462,10 +462,10 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
 #
 # Coverage proof sketch (consumption <= 8 words/block/step, lookahead
 # <= 8): at each L3 refill cur_rel3 in [0,1024), growth 128*8 = 1024,
-# L2 reach <= 7*256+768 = 2560 <= 3072; at each L2 rebuild cur_rel2 in
-# [0,256), growth 16*8 = 128, W1 reach <= 5*64+128 = 448 <= 768; at
-# each W1 rebuild cur_rel1 in [0,64), growth 4*8 = 32, lookahead 8
-# < 128. Payload HBM layout: (B, 8, 4096) u16, word w of block b at
+# L2 granule clamp g2 <= 9 gives reach <= 9*256+768 = 3072 <= 3072; at
+# each L2 rebuild W1 granule clamp c1 <= 10 gives reach <= 10*64+128
+# = 768 <= 768; at each W1 rebuild cur_rel1 in [0,64), growth 4*8 =
+# 32, lookahead 8 < 128. Payload HBM layout: (B, 8, 4096) u16, word w of block b at
 # [b, w & 7, w >> 3]; slots past wlen are zero and never consumed
 # (widx < wlen mirrors the C++ decoder's `w + 1 < wend` guard).
 # ---------------------------------------------------------------------------
@@ -527,8 +527,10 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
             return jnp.where(
                 jnp.broadcast_to((g2[0] == p)[None, None, :],
                                  (8, _L2C, TB)), cand, out)
+        # bound must cover the clamp above (g2 <= 9 for near-raw-length
+        # modeled blocks); p=9 slices [288:384] which stays in _L3C
         l2_ref[:] = jax.lax.fori_loop(
-            0, 8, pick, jnp.zeros((8, _L2C, TB), jnp.uint16))
+            0, 10, pick, jnp.zeros((8, _L2C, TB), jnp.uint16))
         l2b_ref[:] = l3b_ref[:] + g2 * 256
 
     def w1_rebuild():
@@ -538,8 +540,10 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
             cand = l2_ref[:, pl.ds(p * 8, _W1C), :]
             return jnp.where(jnp.broadcast_to(
                 (c1[0] == p)[None, None, :], (8, _W1C, TB)), cand, out)
+        # bound must cover the clamp above (c1 <= 10); p=10 slices
+        # [80:96] which stays in _L2C
         w1_ref[:] = jax.lax.fori_loop(
-            0, 7, pick, jnp.zeros((8, _W1C, TB), jnp.uint16))
+            0, 11, pick, jnp.zeros((8, _W1C, TB), jnp.uint16))
         w1b_ref[:] = l2b_ref[:] + c1 * 64
 
     def step(i, _):
