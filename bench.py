@@ -246,7 +246,10 @@ def bench_tpu_full(fld, tol, n_blocks=None):
         out = step(x, *consts)
         nlay = int(out[3])
         streams = rans.encode_planes_device(out[0][:nlay], n)
-        _ = rans.decode_planes_device(streams, n)
+        # MUST block: an unblocked decode left pending on the device
+        # queue inflated r3's step_s measurement 0.066s -> 2.5s (the
+        # next timed call waits behind it).
+        jax.block_until_ready(rans.decode_planes_device(streams, n))
         done.append((x, out, nlay, streams))
 
     import threading

@@ -49,6 +49,19 @@ def test_sharded_encode_matches_single(mesh):
         assert err <= 1.3e-6 * np.abs(fields[i]).max()
 
 
+def test_sharded_encode_bounded_residency(mesh):
+    """The host never holds more than threads+2 symbol planes at once
+    (native slot-pool rule, wr_native.cc encode loop)."""
+    from waverange_tpu.parallel import mesh as pm
+    fields = _batch(8, (16, 16, 16), seed=7)
+    encs = encode_fields_sharded(fields, 1e-6, mesh=mesh,
+                                 backend_threads=2)
+    assert pm._last_peak_resident <= 2 + 2, pm._last_peak_resident
+    # streams unchanged vs the single-field codec
+    single = codec.encode_field(fields[3], 1e-6, backend="jax")
+    assert encs[3].data == single.data
+
+
 def test_sharded_uneven_batch(mesh):
     fields = _batch(5, (8, 8, 8), seed=3)
     encs = encode_fields_sharded(fields, 1e-5, mesh=mesh)

@@ -70,6 +70,21 @@ def test_kernel_decode_roundtrip(rng):
     assert np.array_equal(back, planes)
 
 
+def test_kernel_decode_near_raw_blocks(rng):
+    """Near-raw modeled blocks (wlen in (31744, 32510)) exercise the
+    dchain window hierarchy's top granule clamps (g2 in {8,9}, c1 up to
+    10): a uniform alphabet of ~225-245 symbols lands in that band while
+    still beating the raw escape."""
+    for k in (225, 235, 240):
+        data = rng.integers(0, k, 2 * 65536).astype(np.uint8)
+        s = wn.encode_plane(data, coder=1)
+        batch, raws, *_rest, wlen_a, _bs = rans._parse_to_batch(
+            [s], [data.size])
+        assert len(batch) >= 1, "expected modeled blocks"
+        back = np.asarray(rans.decode_planes_device([s], data.size))[0]
+        assert np.array_equal(back, data), f"k={k}"
+
+
 def test_device_codec_roundtrip_envelope(rng):
     """Whole-field device codec at a conforming tolerance."""
     from waverange_tpu.core import codec

@@ -456,9 +456,12 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
 #                 7-way select from L2 at 64-word granules)
 #          <- L2 (96 cols = 768 words, rebuilt every 16 steps,
 #                 8-way select from L3 at 256-word granules)
-#          <- L3 (384 cols = 3072 words, rebuilt every 128 steps by a
-#                 30-way select from the tile's full payload, which one
-#                 legal whole-tile DMA parks in VMEM at chunk 0)
+#          <- L3 (384 cols = 3072 words, rebuilt every 128 steps by an
+#                 up-to-30-way select from the tile's payload, which one
+#                 legal whole-tile DMA parks in VMEM at chunk 0; the
+#                 payload column capacity PC is a per-call static sized
+#                 to the actual max word count, so short streams don't
+#                 pay the full 32768-word DMA)
 #
 # Coverage proof sketch (consumption <= 8 words/block/step, lookahead
 # <= 8): at each L3 refill cur_rel3 in [0,1024), growth 128*8 = 1024,
@@ -475,7 +478,7 @@ _DC_NC = G // _DC_GC
 _W1C = 16
 _L2C = 96
 _L3C = 384
-_PAYC = 4096
+_PAYC = 4096     # max payload columns (8 words each; 32768-word cap)
 
 
 def _row_prefix_incl(x):
@@ -492,6 +495,8 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
     t = pl.program_id(0)
     c = pl.program_id(1)
     TB = _DC_TB
+    PC = payv_ref.shape[1]                   # payload cols (static)
+    n_g3 = (PC - _L3C) // 128 + 1            # L3 granule candidates
     lane = jax.lax.broadcasted_iota(_I32, (8, TB), 0)
     wlen = wlen_ref[:]                       # (1, TB)
     bs = bs_ref[:]
@@ -506,7 +511,7 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
         cp.wait()
 
     def l3_refill():
-        g3 = jnp.minimum(cur_ref[:] >> 10, 29)      # (1, TB)
+        g3 = jnp.minimum(cur_ref[:] >> 10, n_g3 - 1)    # (1, TB)
 
         # fori + dynamic middle-dim slice keeps the traced IR small
         # (the 30-way unrolled select stalled the Mosaic compiler)
@@ -516,7 +521,7 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
                 jnp.broadcast_to((g3[0] == p)[None, None, :],
                                  (8, _L3C, TB)), cand, out)
         l3_ref[:] = jax.lax.fori_loop(
-            0, 30, pick, jnp.zeros((8, _L3C, TB), jnp.uint16))
+            0, n_g3, pick, jnp.zeros((8, _L3C, TB), jnp.uint16))
         l3b_ref[:] = g3 * 1024
 
     def l2_rebuild():
@@ -622,12 +627,17 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
     """Decode the lane chains for B blocks.
 
     cum_t (256, B) i32 exclusive cumulative tables; x0 (8, B) u32 lane
-    states; wlen_row/bs_row (1, B) i32; pay (8, 4096, B) u16 payload
-    words (word w of block b at [w & 7, w >> 3, b]).
+    states; wlen_row/bs_row (1, B) i32; pay (8, PC, B) u16 payload
+    words (word w of block b at [w & 7, w >> 3, b]) where PC is a
+    multiple of 128 with _L3C+128 <= PC <= _PAYC and every block's
+    wlen <= PC*8 — callers size PC to the batch's max word count so
+    short streams don't DMA the full 32768-word capacity.
     Returns syms (TBLOCK, B) u8 (position-major).
     """
     B = cum_t.shape[1]
+    PC = pay.shape[1]
     assert B % _DC_TB == 0
+    assert PC % 128 == 0 and _L3C + 128 <= PC <= _PAYC, PC
     with jax.enable_x64(False):
         return pl.pallas_call(
             _dc_kernel,
@@ -652,7 +662,7 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
             scratch_shapes=[
                 pltpu.VMEM((8, _DC_TB), _U32),       # x
                 pltpu.VMEM((1, _DC_TB), _I32),       # cur
-                pltpu.VMEM((8, _PAYC, _DC_TB), jnp.uint16),  # payload
+                pltpu.VMEM((8, PC, _DC_TB), jnp.uint16),  # payload
                 pltpu.VMEM((8, _L3C, _DC_TB), jnp.uint16),
                 pltpu.VMEM((1, _DC_TB), _I32),       # l3 base
                 pltpu.VMEM((8, _L2C, _DC_TB), jnp.uint16),

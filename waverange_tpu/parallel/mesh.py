@@ -84,8 +84,8 @@ def encode_fields_sharded(fields: np.ndarray, tolrel: float,
         _encode_batch(xs, jnp.asarray(tolrel, dtype),
                       jnp.asarray(1.75, dtype),
                       jnp.asarray(255.0, dtype), wtflag=bool(wtflag)))
-    # Host side: gather + entropy-code every (field, layer) stream.
-    planes = np.asarray(planes)[:B]
+    # Small metadata comes down whole; the (B, 8, n) plane matrix stays
+    # on device and is streamed per (field, layer) below.
     nlay = np.asarray(nlay)[:B]
     deps = np.asarray(deps)[:B]
     minv = np.asarray(minv)[:B]
@@ -94,20 +94,16 @@ def encode_fields_sharded(fields: np.ndarray, tolrel: float,
     halfspan = np.asarray(halfspan)[:B]
     trivial = np.asarray(trivial)[:B]
 
-    # Flatten all valid (field, layer) planes into one batch for the
-    # thread-parallel coder.
+    # Host side: stream planes one (field, layer) at a time through a
+    # bounded coder pool — the native pipeline's slot-pool discipline
+    # (wr_native.cc encode loop: resident planes <= threads + 2). The
+    # old path materialized the full (B, 8, n) u8 matrix first (8 GiB
+    # per 1024^3 field in flight).
     idx = [(b, l) for b in range(B) if not trivial[b]
            for l in range(int(nlay[b]))]
-    if idx:
-        flat = np.stack([planes[b, l] for (b, l) in idx])
-        payload, lens = wn.encode_planes_batch(flat,
-                                               nthreads=backend_threads)
-        payload = np.frombuffer(payload, np.uint8)
-    offs = np.zeros(len(idx) + 1, np.int64)
-    if idx:
-        offs[1:] = np.cumsum(lens.astype(np.int64))
+    streams = _stream_code_planes(planes, idx, backend_threads)
+
     out: List[EncodedField] = []
-    k = 0
     for b in range(B):
         deps_vec = np.zeros(NLAYMAX)
         minv_vec = np.zeros(NLAYMAX)
@@ -120,13 +116,9 @@ def encode_fields_sharded(fields: np.ndarray, tolrel: float,
                 data=b""))
             continue
         nl = int(nlay[b])
-        chunks = []
+        chunks = [streams[(b, l)] for l in range(nl)]
         for l in range(nl):
-            b2, l2 = idx[k]
-            assert (b2, l2) == (b, l)
-            chunks.append(payload[offs[k]:offs[k + 1]].tobytes())
-            len_vec[l] = offs[k + 1] - offs[k]
-            k += 1
+            len_vec[l] = len(chunks[l])
         deps_vec[:nl] = deps[b, :nl]
         minv_vec[:nl] = minv[b, :nl]
         data = b"".join(chunks)
@@ -137,6 +129,56 @@ def encode_fields_sharded(fields: np.ndarray, tolrel: float,
             deps_vec=deps_vec, minval_vec=minv_vec, len_enc_vec=len_vec,
             data=data))
     return out
+
+
+#: test hook — peak count of host-resident symbol planes during the last
+#: `_stream_code_planes` call (must stay <= threads + 2).
+_last_peak_resident = 0
+
+
+def _stream_code_planes(planes_dev, idx, backend_threads=None):
+    """Entropy-code device planes with bounded host residency.
+
+    Transfers plane (b, l) from the device only when a slot is free
+    (threads + 2 slots, matching the native coder's slot pool) and codes
+    it on a thread pool; at most `threads + 2` planes live on the host
+    at any instant regardless of batch size.
+    """
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _last_peak_resident
+    nthreads = backend_threads or os.cpu_count() or 1
+    slots = nthreads + 2
+    sem = threading.Semaphore(slots)
+    lock = threading.Lock()
+    resident = 0
+    peak = 0
+    streams = {}
+
+    def code_one(key, plane_host):
+        nonlocal resident
+        try:
+            streams[key] = wn.encode_plane(plane_host)
+        finally:
+            with lock:
+                resident -= 1
+            sem.release()
+
+    with ThreadPoolExecutor(max_workers=nthreads) as pool:
+        futs = []
+        for (b, l) in idx:
+            sem.acquire()
+            with lock:
+                resident += 1
+                peak = max(peak, resident)
+            plane_host = np.asarray(planes_dev[b, l])  # one-plane D2H
+            futs.append(pool.submit(code_one, (b, l), plane_host))
+        for f in futs:
+            f.result()
+    _last_peak_resident = peak
+    return streams
 
 
 def decode_fields_sharded(encs: Sequence[EncodedField],
