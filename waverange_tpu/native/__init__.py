@@ -61,6 +61,8 @@ def get_lib() -> ct.CDLL:
             f64p, u64, u64, u64, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
             f64p, f64p, f64p, f64p, u8p, u8p, f64p, f64p, u64p, u8p,
             ct.c_int]
+        lib.wrn_encode_field_nc.restype = u64
+        lib.wrn_encode_field_nc.argtypes = lib.wrn_encode_field.argtypes
         lib.wrn_decode_field.restype = None
         lib.wrn_decode_field.argtypes = [
             f64p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
@@ -196,7 +198,9 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
     reference encoding_wrap outputs (wrappers.h:53).
     """
     lib = get_lib()
-    fld = np.ascontiguousarray(fld, dtype=np.float64).copy()
+    # no defensive copy: wrn_encode_field_nc reads `fld` const (the
+    # first wavelet sweep lifts into a native-side scratch)
+    fld = np.ascontiguousarray(fld, dtype=np.float64)
     nz, ny, nx = fld.shape
     n = fld.size
     if cutoff is None:
@@ -213,7 +217,7 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
     len_enc_vec = np.zeros(NLAYMAX, dtype=np.uint64)
     cap = NLAYMAX * max(n, 1024)
     data_enc = np.empty(cap, dtype=np.uint8)
-    ntot_enc = lib.wrn_encode_field(
+    ntot_enc = lib.wrn_encode_field_nc(
         _f64p(fld), nx, ny, nz, wtflag, mx, my, mz, _f64p(cutoffvec),
         ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
         ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),

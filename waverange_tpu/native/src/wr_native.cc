@@ -36,6 +36,8 @@
 #include <cstdlib>
 #include <cassert>
 #include <cstdio>
+#include <memory>
+#include <stdexcept>
 
 namespace wr {
 
@@ -1216,6 +1218,44 @@ void wavelet3d_forward(T* fld, u64 nx, u64 ny, u64 nz, int levels) {
   }
 }
 
+// Forward transform that reads `src` and leaves it untouched: the first
+// X sweep lifts each source line directly into `dst` (identical per-
+// element op order to the in-place sweep), then the remaining sweeps run
+// in place on dst. Saves the caller a full-array defensive copy.
+template <typename T>
+void wavelet3d_forward_from(const T* src, T* dst, u64 nx, u64 ny, u64 nz,
+                            int levels) {
+  const u64 n = nx * ny * nz;
+  if (levels <= 0 || nx <= 1) {
+    std::memcpy(dst, src, n * sizeof(T));
+    wavelet3d_forward(dst, nx, ny, nz, levels);
+    return;
+  }
+  Dim3 full{nx, ny, nz};
+  Dim3 act{nx, ny, nz};
+  {
+    const u64 sy = nx, sz = nx * ny;
+    const u64 m = nx / 2 + (nx % 2);
+    thread_local std::vector<T> lo, hi;
+    parallel_for(act.nz * act.ny, [&](u64 j) {
+      if (lo.size() < m) { lo.resize(m); hi.resize(m); }
+      u64 j2 = j / act.ny, j1 = j % act.ny;
+      const T* line = src + j1 * sy + j2 * sz;
+      lift_line_fwd(line, nx, lo.data(), hi.data(),
+                    dst + j1 * sy + j2 * sz);
+    });
+  }
+  sweep_axis_fwd(dst, full, act, 1);
+  sweep_axis_fwd(dst, full, act, 2);
+  act = {halve_up(act.nx), halve_up(act.ny), halve_up(act.nz)};
+  for (int k = 1; k < levels; ++k) {
+    sweep_axis_fwd(dst, full, act, 0);
+    sweep_axis_fwd(dst, full, act, 1);
+    sweep_axis_fwd(dst, full, act, 2);
+    act = {halve_up(act.nx), halve_up(act.ny), halve_up(act.nz)};
+  }
+}
+
 template <typename T>
 void wavelet3d_inverse(T* fld, u64 nx, u64 ny, u64 nz, int levels) {
   Dim3 full{nx, ny, nz};
@@ -1382,11 +1422,18 @@ static int quant_threads() {
 // field). The residual VALUES are identical to the unfused reference
 // sequence, and chunk-local compare-select min/max equals sequential
 // fmin/fmax on NaN-free data, so layer schedules stay bit-exact.
-template <typename T>
+template <typename T, bool kWriteResid = true>
 static void quantize_residual_fused(T* fld, u8* syms, u64 j0, u64 j1,
                                     T a, T b, T deps,
                                     T mn, T* out_mn,
                                     T* out_mx) {
+  if constexpr (!kWriteResid) {
+    // Final layer: nothing reads the residual or its bounds — emit
+    // symbols only (saves a full-array store per encode).
+    for (u64 j = j0; j < j1; ++j) syms[j] = u8(a * fld[j] + b);
+    *out_mn = *out_mx = 0;
+    return;
+  }
   T rmn = 0, rmx = 0;
   bool first = true;
   for (u64 j = j0; j < j1; ++j) {
@@ -1452,14 +1499,22 @@ static LayerResult quantize_layer_fused(T* fld, u8* syms, u64 n,
   const u64 chunk = 1u << 21;
   const u64 nchunks = (n + chunk - 1) / chunk;
   if (qt == 1 || nchunks < 2) {
-    quantize_residual_fused(fld, syms, 0, n, a, b, deps, mn, next_mn,
-                            next_mx);
+    if (last)
+      quantize_residual_fused<T, false>(fld, syms, 0, n, a, b, deps, mn,
+                                        next_mn, next_mx);
+    else
+      quantize_residual_fused(fld, syms, 0, n, a, b, deps, mn, next_mn,
+                              next_mx);
   } else {
     std::vector<T> mns(nchunks), mxs(nchunks);
     parallel_for(nchunks, [&](u64 ci) {
       u64 j0 = ci * chunk, j1 = std::min(n, j0 + chunk);
-      quantize_residual_fused(fld, syms, j0, j1, a, b, deps, mn, &mns[ci],
-                              &mxs[ci]);
+      if (last)
+        quantize_residual_fused<T, false>(fld, syms, j0, j1, a, b, deps,
+                                          mn, &mns[ci], &mxs[ci]);
+      else
+        quantize_residual_fused(fld, syms, j0, j1, a, b, deps, mn,
+                                &mns[ci], &mxs[ci]);
     }, qt);
     T rmn = mns[0], rmx = mxs[0];
     for (u64 ci = 1; ci < nchunks; ++ci) {
@@ -1527,37 +1582,30 @@ struct EncodeOut {
   u64 len_enc_vec[kLayersMax];
 };
 
+static bool wr_prof_enabled() {
+  static const bool prof = [] {
+    const char* e = getenv("WR_PROF");
+    return e && *e == '1';
+  }();
+  return prof;
+}
+
+// Shared layer pipeline: quantize `fld` (already in wavelet space, or
+// physical space when wlev==0) into byte layers and entropy-code them
+// directly into `sink` (capacity contract: 8 * max(n, 1024), the
+// setup_wr allocation rule — wrappers.cpp:531-541).
 template <typename T>
-void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
-                  int my, int mz, const double* cutoffvec, EncodeOut* out,
-                  std::vector<u8>& payload, int coder = 0) {
+static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
+                          int mz, const double* cutoffvec, double tolrel,
+                          EncodeOut* out, u8* sink, int coder) {
   const u64 n = nx * ny * nz;
   const u64 mtot = u64(mx) * u64(my) * u64(mz);
-  out->wlev = wtflag ? kWavLevels : 0;
-  std::memset(out->deps_vec, 0, sizeof(out->deps_vec));
-  std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
-  std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
-
-  T mn, mx_;
-  minmax_scan(fld, n, &mn, &mx_);
-  out->halfspanval = (double(mx_) - double(mn)) / 2;
-  out->midval = double(mn) + out->halfspanval;
-  const double tiny = std::is_same<T, double>::value
-                          ? 2 * DBL_MIN : 2 * double(FLT_MIN);
-  if (out->halfspanval <= tiny) {
-    out->ntot_enc = 0;
-    out->nlay = 0;
-    out->tolabs = 0;
-    return;
-  }
-
-  wavelet3d_forward(fld, nx, ny, nz, int(out->wlev));
-
-  double tolrel = cutoffvec[0];
-  for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
-  out->tolabs = tolrel *
-                std::fmax(std::fabs(double(mn)), std::fabs(double(mx_))) /
-                kWavAccCoef;
+  const bool prof = wr_prof_enabled();
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_wav = now();
 
   // Bounded layer pipeline: quantization is sequential through the
   // residual field, the per-layer entropy streams are independent. A
@@ -1695,18 +1743,128 @@ void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
     all_queued = true;
   }
   cv.notify_all();
+  auto t_q = now();
   work();  // main thread codes remaining layers alongside the workers
   for (auto& th : ths) th.join();
+  if (prof)
+    fprintf(stderr,
+            "[wr prof] quantize(+slot waits) %.3fs coder-drain %.3fs "
+            "nlay %d\n",
+            secs(t_wav, t_q), secs(t_q, now()), ilay);
 
   u64 total = 0;
   for (int l = 0; l < ilay; ++l) total += streams[l].size();
-  payload.reserve(payload.size() + total);
+  // Safety-buffer contract (wrappers.cpp:415-427): the caller allocated
+  // SAFETY_BUFFER_FACTOR * NLAYMAX * max(n, 1024) bytes.
+  const u64 cap = u64(kLayersMax) * std::max<u64>(n, 1024);
+  if (total > cap)
+    throw std::runtime_error("encoded size exceeds safety buffer");
+  u64 off = 0;
   for (int l = 0; l < ilay; ++l) {
     out->len_enc_vec[l] = streams[l].size();
-    payload.insert(payload.end(), streams[l].begin(), streams[l].end());
+    std::memcpy(sink + off, streams[l].data(), streams[l].size());
+    off += streams[l].size();
   }
   out->nlay = u8(ilay);
-  out->ntot_enc = payload.size();
+  out->ntot_enc = total;
+}
+
+// Field-encode entry, clobbering: `fld` is transformed + consumed in
+// place (reference contract — encoding_wrap clobbers its input,
+// README §IV NOTE / wrappers.cpp:228-452).
+template <typename T>
+void encode_field(T* fld, u64 nx, u64 ny, u64 nz, int wtflag, int mx,
+                  int my, int mz, const double* cutoffvec, EncodeOut* out,
+                  u8* sink, int coder = 0) {
+  const u64 n = nx * ny * nz;
+  const u64 mtot = u64(mx) * u64(my) * u64(mz);
+  out->wlev = wtflag ? kWavLevels : 0;
+  std::memset(out->deps_vec, 0, sizeof(out->deps_vec));
+  std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
+  std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
+  const bool prof = wr_prof_enabled();
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_start = now();
+
+  T mn, mx_;
+  minmax_scan(fld, n, &mn, &mx_);
+  out->halfspanval = (double(mx_) - double(mn)) / 2;
+  out->midval = double(mn) + out->halfspanval;
+  const double tiny = std::is_same<T, double>::value
+                          ? 2 * DBL_MIN : 2 * double(FLT_MIN);
+  if (out->halfspanval <= tiny) {
+    out->ntot_enc = 0;
+    out->nlay = 0;
+    out->tolabs = 0;
+    return;
+  }
+  auto t_mm = now();
+  wavelet3d_forward(fld, nx, ny, nz, int(out->wlev));
+  if (prof)
+    fprintf(stderr, "[wr prof] minmax %.3fs wavelet %.3fs\n",
+            secs(t_start, t_mm), secs(t_mm, now()));
+  double tolrel = cutoffvec[0];
+  for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
+  out->tolabs = tolrel *
+                std::fmax(std::fabs(double(mn)), std::fabs(double(mx_))) /
+                kWavAccCoef;
+  encode_layers(fld, nx, ny, nz, mx, my, mz, cutoffvec, tolrel, out, sink,
+                coder);
+}
+
+// Non-clobbering entry: `src` stays untouched; the first wavelet sweep
+// lifts it into an internal scratch (no defensive full-array copy).
+template <typename T>
+void encode_field_nc(const T* src, u64 nx, u64 ny, u64 nz, int wtflag,
+                     int mx, int my, int mz, const double* cutoffvec,
+                     EncodeOut* out, u8* sink, int coder = 0) {
+  const u64 n = nx * ny * nz;
+  const u64 mtot = u64(mx) * u64(my) * u64(mz);
+  out->wlev = wtflag ? kWavLevels : 0;
+  std::memset(out->deps_vec, 0, sizeof(out->deps_vec));
+  std::memset(out->minval_vec, 0, sizeof(out->minval_vec));
+  std::memset(out->len_enc_vec, 0, sizeof(out->len_enc_vec));
+  const bool prof = wr_prof_enabled();
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_start = now();
+
+  T mn, mx_;
+  minmax_parallel(src, n, quant_threads(), &mn, &mx_);
+  out->halfspanval = (double(mx_) - double(mn)) / 2;
+  out->midval = double(mn) + out->halfspanval;
+  const double tiny = std::is_same<T, double>::value
+                          ? 2 * DBL_MIN : 2 * double(FLT_MIN);
+  if (out->halfspanval <= tiny) {
+    out->ntot_enc = 0;
+    out->nlay = 0;
+    out->tolabs = 0;
+    return;
+  }
+  auto t_mm = now();
+  // default-initialized (not value-initialized): the first sweep writes
+  // every element, so zero-filling 8n bytes here would be pure waste
+  std::unique_ptr<T[]> scratch(new T[n]);
+  if (out->wlev > 0)
+    wavelet3d_forward_from(src, scratch.get(), nx, ny, nz,
+                           int(out->wlev));
+  else
+    std::memcpy(scratch.get(), src, n * sizeof(T));
+  if (prof)
+    fprintf(stderr, "[wr prof] minmax %.3fs wavelet(oop) %.3fs\n",
+            secs(t_start, t_mm), secs(t_mm, now()));
+  double tolrel = cutoffvec[0];
+  for (u64 k = 1; k < mtot; ++k) tolrel = std::min(tolrel, cutoffvec[k]);
+  out->tolabs = tolrel *
+                std::fmax(std::fabs(double(mn)), std::fabs(double(mx_))) /
+                kWavAccCoef;
+  encode_layers(scratch.get(), nx, ny, nz, mx, my, mz, cutoffvec, tolrel,
+                out, sink, coder);
 }
 
 template <typename T>
@@ -1946,10 +2104,8 @@ uint64_t wrn_encode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
                           uint64_t* len_enc_vec, uint8_t* data_enc,
                           int coder) {
   wr::EncodeOut eo;
-  std::vector<wr::u8> payload;
-  payload.reserve(nx * ny * nz / 2 + 4096);
   wr::encode_field(fld, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
-                   payload, coder);
+                   data_enc, coder);
   *tolabs = eo.tolabs;
   *midval = eo.midval;
   *halfspanval = eo.halfspanval;
@@ -1958,8 +2114,32 @@ uint64_t wrn_encode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
   std::memcpy(deps_vec, eo.deps_vec, sizeof(eo.deps_vec));
   std::memcpy(minval_vec, eo.minval_vec, sizeof(eo.minval_vec));
   std::memcpy(len_enc_vec, eo.len_enc_vec, sizeof(eo.len_enc_vec));
-  std::memcpy(data_enc, payload.data(), payload.size());
-  return payload.size();
+  return eo.ntot_enc;
+}
+
+// Non-clobbering variant: `fld` is read-only (no defensive copy needed
+// on the Python side; the first wavelet sweep lifts into an internal
+// scratch).
+uint64_t wrn_encode_field_nc(const double* fld, uint64_t nx, uint64_t ny,
+                             uint64_t nz, int wtflag, int mx, int my,
+                             int mz, const double* cutoffvec,
+                             double* tolabs, double* midval,
+                             double* halfspanval, uint8_t* wlev,
+                             uint8_t* nlay, double* deps_vec,
+                             double* minval_vec, uint64_t* len_enc_vec,
+                             uint8_t* data_enc, int coder) {
+  wr::EncodeOut eo;
+  wr::encode_field_nc(fld, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
+                      data_enc, coder);
+  *tolabs = eo.tolabs;
+  *midval = eo.midval;
+  *halfspanval = eo.halfspanval;
+  *wlev = eo.wlev;
+  *nlay = eo.nlay;
+  std::memcpy(deps_vec, eo.deps_vec, sizeof(eo.deps_vec));
+  std::memcpy(minval_vec, eo.minval_vec, sizeof(eo.minval_vec));
+  std::memcpy(len_enc_vec, eo.len_enc_vec, sizeof(eo.len_enc_vec));
+  return eo.ntot_enc;
 }
 
 void wrn_decode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
@@ -1983,11 +2163,9 @@ uint64_t wrn_encode_field_f32(float* fld, uint64_t nx, uint64_t ny,
                               double* minval_vec, uint64_t* len_enc_vec,
                               uint8_t* data_enc, int coder) {
   wr::EncodeOut eo;
-  std::vector<wr::u8> payload;
-  payload.reserve(nx * ny * nz / 2 + 4096);
   double cutoff[1] = {tolrel};
-  wr::encode_field(fld, nx, ny, nz, wtflag, 1, 1, 1, cutoff, &eo, payload,
-                   coder);
+  wr::encode_field(fld, nx, ny, nz, wtflag, 1, 1, 1, cutoff, &eo,
+                   data_enc, coder);
   *tolabs = eo.tolabs;
   *midval = eo.midval;
   *halfspanval = eo.halfspanval;
@@ -1996,8 +2174,7 @@ uint64_t wrn_encode_field_f32(float* fld, uint64_t nx, uint64_t ny,
   std::memcpy(deps_vec, eo.deps_vec, sizeof(eo.deps_vec));
   std::memcpy(minval_vec, eo.minval_vec, sizeof(eo.minval_vec));
   std::memcpy(len_enc_vec, eo.len_enc_vec, sizeof(eo.len_enc_vec));
-  std::memcpy(data_enc, payload.data(), payload.size());
-  return payload.size();
+  return eo.ntot_enc;
 }
 
 void wrn_decode_field_f32(float* fld, uint64_t nx, uint64_t ny, uint64_t nz,
@@ -2074,21 +2251,19 @@ void encoding_wrap(int nx, int ny, int nz, double* fld_1d, int wtflag,
                    double* deps_vec, double* minval_vec,
                    unsigned long* len_enc_vec, unsigned char* data_enc) {
   wr::EncodeOut eo;
-  std::vector<wr::u8> payload;
   wr::encode_field(fld_1d, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
-                   payload);
+                   data_enc);
   tolabs = eo.tolabs;
   midval = eo.midval;
   halfspanval = eo.halfspanval;
   wlev = eo.wlev;
   nlay = eo.nlay;
-  ntot_enc = payload.size();
+  ntot_enc = eo.ntot_enc;
   for (int j = 0; j < wr::kLayersMax; ++j) {
     deps_vec[j] = eo.deps_vec[j];
     minval_vec[j] = eo.minval_vec[j];
     len_enc_vec[j] = eo.len_enc_vec[j];
   }
-  std::memcpy(data_enc, payload.data(), payload.size());
 }
 
 void decoding_wrap(int nx, int ny, int nz, double* fld_1d, double& tolabs,
