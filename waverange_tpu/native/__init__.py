@@ -189,6 +189,27 @@ def index_p2w(levels: int, n1: int, n2: int, n3: int,
     return lvl.value, o1.value, o2.value, o3.value
 
 
+_sink_local = None
+
+
+def _sink_buffer(cap: int) -> np.ndarray:
+    """Per-thread recycled sink for encode_field's output.
+
+    First-touch page faults cost ~27 us/page on virtualized hosts
+    (~5 s for a 1 GiB buffer); reusing one keeps its pages mapped. Safe
+    because the caller copies the stream out (`tobytes`) before return.
+    """
+    global _sink_local
+    if _sink_local is None:
+        import threading
+        _sink_local = threading.local()
+    buf = getattr(_sink_local, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.empty(cap, dtype=np.uint8)
+        _sink_local.buf = buf
+    return buf
+
+
 def encode_field(fld: np.ndarray, wtflag: int = 1,
                  cutoff=None, mx: int = 1, my: int = 1, mz: int = 1,
                  coder: int = 0) -> dict:
@@ -216,7 +237,7 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
     minval_vec = np.zeros(NLAYMAX, dtype=np.float64)
     len_enc_vec = np.zeros(NLAYMAX, dtype=np.uint64)
     cap = NLAYMAX * max(n, 1024)
-    data_enc = np.empty(cap, dtype=np.uint8)
+    data_enc = _sink_buffer(cap)
     ntot_enc = lib.wrn_encode_field_nc(
         _f64p(fld), nx, ny, nz, wtflag, mx, my, mz, _f64p(cutoffvec),
         ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),

@@ -1284,7 +1284,11 @@ static int il_width(bool decode) {
     int v = atoi(e);
     if (v == 1 || v == 2 || v == 4) return v;
   }
-  return decode ? 4 : 2;
+  // 4-wide keeps four independent normalize->divide->update chains in
+  // flight per core: measured 0.092/0.105/0.123 GB/s/core for 1/2/4 on
+  // the AVX-512 host (encode); decode gains similarly.
+  (void)decode;
+  return 4;
 }
 
 // Encode `cnt` (1..4) equal-length planes with the widest interleave.
@@ -1590,6 +1594,61 @@ static bool wr_prof_enabled() {
   return prof;
 }
 
+// Process-wide recycler for the codec's large flat buffers. First-touch
+// page faults cost ~27 us/page on the virtualized hosts this runs on
+// (184K faults for a 753 MB stream buffer = ~5 s of kernel time per
+// encode), while writes into a recycled arena re-fault at ~0.6 us. The
+// pool keeps a handful of big vectors alive across calls; capacity is
+// retained through clear()/resize() so their pages stay mapped.
+class BufPool {
+ public:
+  // A vector with capacity >= cap, resized to `size` (pages retained).
+  static std::vector<u8> get(u64 cap, u64 size) {
+    {
+      std::lock_guard<std::mutex> lk(mu());
+      auto& p = pool();
+      int best = -1;
+      for (int i = 0; i < (int)p.size(); ++i)
+        if (p[i].capacity() >= cap &&
+            (best < 0 || p[i].capacity() < p[best].capacity()))
+          best = i;  // smallest sufficient buffer
+      if (best >= 0) {
+        std::vector<u8> v = std::move(p[best]);
+        p.erase(p.begin() + best);
+        v.resize(size);
+        return v;
+      }
+    }
+    std::vector<u8> v;
+    v.reserve(cap);
+    v.resize(size);
+    return v;
+  }
+  static void put(std::vector<u8>&& v) {
+    if (v.capacity() < (u64(1) << 20)) return;  // not worth pooling
+    v.clear();
+    std::lock_guard<std::mutex> lk(mu());
+    auto& p = pool();
+    if (p.size() >= 24) {  // bound resident pool; drop the smallest
+      int mi = 0;
+      for (int i = 1; i < (int)p.size(); ++i)
+        if (p[i].capacity() < p[mi].capacity()) mi = i;
+      p.erase(p.begin() + mi);
+    }
+    p.push_back(std::move(v));
+  }
+ private:
+  static std::mutex& mu() {
+    static std::mutex m;
+    return m;
+  }
+  static std::vector<std::vector<u8>>& pool() {
+    static std::vector<std::vector<u8>>* p =
+        new std::vector<std::vector<u8>>();
+    return *p;
+  }
+};
+
 // Shared layer pipeline: quantize `fld` (already in wavelet space, or
 // physical space when wlev==0) into byte layers and entropy-code them
 // directly into `sink` (capacity contract: 8 * max(n, 1024), the
@@ -1624,9 +1683,23 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
   // nthreads==1 means strictly serial: 0 workers, the main thread's
   // trailing work() call does all coding after quantization.
   const int nworkers = nthreads > 1 ? nthreads - 1 : 0;
-  const int slots = std::min(kLayersMax, nthreads + 2);
-  std::vector<u8> planebuf(u64(slots) * n);
+  // All 8 slots by default: the fused quantizer produces layers ~10x
+  // faster than the coder consumes them, so slot waits would serialize
+  // the machine's only spare core behind the coder (measured on the
+  // 2-vCPU host). Memory cost is n bytes/layer — one-eighth of the f64
+  // input per slot; WR_CODER_SLOTS trims it for memory-tight hosts.
+  int slots = kLayersMax;
+  if (const char* e = getenv("WR_CODER_SLOTS")) {
+    int v = atoi(e);
+    if (v >= 3 && v <= kLayersMax) slots = v;
+  }
+  slots = std::min(slots, kLayersMax);
+  // planebuf and the per-layer stream buffers come from the process
+  // pool: their pages stay mapped across calls (see BufPool).
+  std::vector<u8> planebuf = BufPool::get(u64(slots) * n, u64(slots) * n);
+  const u64 scap = 2 * n + (n / kBlockSymbols + 2) * 1100 + 64;
   std::vector<u8> streams[kLayersMax];
+  for (int l = 0; l < kLayersMax; ++l) streams[l] = BufPool::get(scap, 0);
 
   std::mutex mu;
   std::condition_variable cv;
@@ -1635,12 +1708,13 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
   bool all_queued = false;
   bool layer_done[kLayersMax] = {false};
 
-  const int gw = std::min(2, il_width(false));
+  const int gw = std::min(4, il_width(false));
   auto code_claimed = [&](int l, int cnt) {
-    if (coder == 0 && cnt == 2) {
-      const u8* p[2] = {planebuf.data() + u64(l % slots) * n,
-                        planebuf.data() + u64((l + 1) % slots) * n};
-      encode_planes_il<2>(p, n, &streams[l]);
+    if (coder == 0 && cnt > 1) {
+      const u8* p[4];
+      for (int k = 0; k < cnt; ++k)
+        p[k] = planebuf.data() + u64((l + k) % slots) * n;
+      encode_planes_group(p, cnt, n, &streams[l]);
     } else {
       for (int k = 0; k < cnt; ++k)
         encode_plane_c(coder, planebuf.data() + u64((l + k) % slots) * n,
@@ -1675,18 +1749,25 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
       code_claimed(l, cnt);
     }
   };
-  // Serial mode (0 workers): the main thread itself codes already-
-  // queued layers before reusing their slots — the wait below would
-  // otherwise deadlock with nobody to set layer_done.
-  auto drain_serial = [&](int need_layer) {
-    while (!layer_done[need_layer]) {
-      int l, cnt;
+  // While waiting for a slot, the main thread joins the coder pool
+  // instead of blocking: the oldest unclaimed layer is usually the slot
+  // blocker itself, and on small hosts (2 vCPUs) a blocked quantizer
+  // would leave half the machine idle during the coder-bound bulk of
+  // the encode. Also the only drain mechanism when nworkers == 0.
+  auto help_until_done = [&](int need_layer) {
+    for (;;) {
+      int l = 0, cnt = 0;
       {
-        std::lock_guard<std::mutex> lk(mu);
-        if (next_claim >= n_queued) break;
-        l = next_claim;
-        cnt = std::min(gw, n_queued - next_claim);
-        next_claim += cnt;
+        std::unique_lock<std::mutex> lk(mu);
+        if (layer_done[need_layer]) return;
+        if (next_claim < n_queued) {
+          l = next_claim;
+          cnt = std::min(gw, n_queued - next_claim);
+          next_claim += cnt;
+        } else {
+          cv.wait(lk, [&] { return layer_done[need_layer]; });
+          return;
+        }
       }
       code_claimed(l, cnt);
     }
@@ -1703,9 +1784,7 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
   for (;;) {
     if (ilay >= slots) {
       // slot reuse: the specific layer that used this slot must be done
-      if (nworkers == 0) drain_serial(ilay - slots);
-      std::unique_lock<std::mutex> lk(mu);
-      cv.wait(lk, [&] { return layer_done[ilay - slots]; });
+      help_until_done(ilay - slots);
     }
     u8* syms = planebuf.data() + u64(ilay % slots) * n;
     LayerResult lr;
@@ -1752,6 +1831,7 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
             "nlay %d\n",
             secs(t_wav, t_q), secs(t_q, now()), ilay);
 
+  auto t_cc = now();
   u64 total = 0;
   for (int l = 0; l < ilay; ++l) total += streams[l].size();
   // Safety-buffer contract (wrappers.cpp:415-427): the caller allocated
@@ -1767,6 +1847,11 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
   }
   out->nlay = u8(ilay);
   out->ntot_enc = total;
+  BufPool::put(std::move(planebuf));
+  for (int l = 0; l < kLayersMax; ++l) BufPool::put(std::move(streams[l]));
+  if (prof)
+    fprintf(stderr, "[wr prof] sink concat %.3fs (%zu bytes)\n",
+            secs(t_cc, now()), size_t(total));
 }
 
 // Field-encode entry, clobbering: `fld` is transformed + consumed in
@@ -1865,6 +1950,9 @@ void encode_field_nc(const T* src, u64 nx, u64 ny, u64 nz, int wtflag,
                 kWavAccCoef;
   encode_layers(scratch.get(), nx, ny, nz, mx, my, mz, cutoffvec, tolrel,
                 out, sink, coder);
+  if (prof)
+    fprintf(stderr, "[wr prof] encode_field_nc total %.3fs\n",
+            secs(t_start, now()));
 }
 
 template <typename T>
@@ -1886,8 +1974,14 @@ void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
   // streams into a small slot pool; the main thread accumulates them in
   // exact layer order (per-element sequence preserved => bit-exact),
   // freeing slots as it goes. Bounds resident memory to slots*n.
-  const int slots = std::min<int>(kLayersMax, nthreads + 2);
-  std::vector<u8> planebuf(u64(slots) * n);
+  // All 8 slots by default (same rationale + env knob as the encoder's
+  // pool); pooled pages stay mapped across calls.
+  int slots = kLayersMax;
+  if (const char* e = getenv("WR_CODER_SLOTS")) {
+    int v = atoi(e);
+    if (v >= 3 && v <= kLayersMax) slots = v;
+  }
+  std::vector<u8> planebuf = BufPool::get(u64(slots) * n, u64(slots) * n);
   std::vector<u64> offs(nlay + 1, 0);
   for (int l = 0; l < nlay; ++l) offs[l + 1] = offs[l] + len_enc_vec[l];
 
@@ -1897,7 +1991,7 @@ void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
   int accumulated = 0;
   bool layer_ready[kLayersMax] = {false};
 
-  const int gw = std::min(2, il_width(true));
+  const int gw = std::min(4, il_width(true));
   auto work = [&]() {
     for (;;) {
       int l, cnt;
@@ -1914,12 +2008,16 @@ void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return accumulated > l + cnt - 1 - slots; });
       }
-      if (coder == 0 && cnt == 2) {
-        const u8* d[2] = {data_enc + offs[l], data_enc + offs[l + 1]};
-        u64 ln[2] = {len_enc_vec[l], len_enc_vec[l + 1]};
-        u8* s[2] = {planebuf.data() + u64(l % slots) * n,
-                    planebuf.data() + u64((l + 1) % slots) * n};
-        decode_planes_il<2>(d, ln, s, n);
+      if (coder == 0 && cnt > 1) {
+        const u8* d[4];
+        u64 ln[4];
+        u8* s[4];
+        for (int k = 0; k < cnt; ++k) {
+          d[k] = data_enc + offs[l + k];
+          ln[k] = len_enc_vec[l + k];
+          s[k] = planebuf.data() + u64((l + k) % slots) * n;
+        }
+        decode_planes_group(d, ln, cnt, s, n);
       } else {
         for (int k = 0; k < cnt; ++k)
           decode_plane_c(coder, data_enc + offs[l + k], len_enc_vec[l + k],
@@ -1952,6 +2050,7 @@ void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
     cv.notify_all();
   }
   for (auto& th : ths) th.join();
+  BufPool::put(std::move(planebuf));
   wavelet3d_inverse(fld, nx, ny, nz, int(wlev));
 }
 
