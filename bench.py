@@ -424,6 +424,29 @@ def verify_on_chip(fld, tol):
     return env
 
 
+def margin_envelope(fld, sizes, tols=(1e-7, 1e-10)):
+    """Error-contract margin of the device path: err / (1.3*tol*max|fld|)
+    per size x tolerance (<= 1.0 conforms; the r3 squeeze was 0.8 at
+    512^3/1e-10 and nothing tracked how it moved with size). Breaches
+    auto-route in production via conformance='route' (core/codec.py)."""
+    from waverange_tpu.core import codec
+    out = {}
+    for N in sizes:
+        sub = np.ascontiguousarray(fld[:N, :N, :N])
+        maxabs = float(np.abs(sub).max())
+        for t in tols:
+            e = codec.encode_field(sub, t, backend="jax", coder="rans",
+                                   entropy="device")
+            d = codec.decode_field(e, backend="jax", entropy="device")
+            err = float(np.abs(d - sub).max())
+            frac = err / (1.3 * t * maxabs)
+            out[f"{N}@{t:g}"] = round(frac, 4)
+            log(f"  margin: {N}^3 tol {t:g} -> err {err:.3e} = "
+                f"{frac:.2f} of contract budget"
+                f"{' BREACH' if frac > 1.0 else ''}")
+    return out
+
+
 def bench_reference(fld, tol, workdir, decode=False):
     """Time the locally built reference wrenc (and optionally wrdec)."""
     oracle = REPO / "build" / "oracle" / "wrenc"
@@ -600,6 +623,66 @@ def main():
                 verify_env = verify_on_chip(fld, tol)
                 with _line_lock:
                     _line["verified_on_chip"] = True
+            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
+                    have(180, "margin envelope 128/256"):
+                sizes = [s for s in (128, 256) if s <= n]
+                # the 512^3 rows move ~4 GB through the tunnel: only
+                # with generous budget left
+                if n >= 512 and remaining() > 600:
+                    sizes.append(512)
+                margins = margin_envelope(fld, sizes)
+                with _line_lock:
+                    _line["margin"] = margins
+                    _line["margin_ok"] = bool(
+                        all(v <= 1.0 for v in margins.values()))
+            # exact64 at scale: the conforming 1e-16 device story. The
+            # software-IEEE f64 path runs the full encode on-chip
+            # (device entropy stage) with streams bit-identical to the
+            # native C++ pipeline; measured so its GB/s sits next to
+            # the f32/emulated rows rather than existing only at 32^3.
+            if os.environ.get("WR_BENCH_EXACT64", "1") != "0" and \
+                    have(240, "exact64 on-chip scale row"):
+                try:
+                    from waverange_tpu.core import exact64
+                    from waverange_tpu import native as wn2
+                    ex_rows = {}
+                    sizes64 = [128] + ([256] if remaining() > 500 else [])
+                    for N in sizes64:
+                        sub = np.ascontiguousarray(fld[:N, :N, :N])
+                        gbN = sub.nbytes / 1e9
+                        got = exact64.encode_field_exact64(
+                            sub, tol, entropy="device", coder=1)
+                        t0 = time.time()
+                        got = exact64.encode_field_exact64(
+                            sub, tol, entropy="device", coder=1)
+                        enc_s = time.time() - t0
+                        want = wn2.encode_field(
+                            sub, wtflag=1, cutoff=np.array([tol]),
+                            coder=1)
+                        ident = bool(got["data"] == want["data"])
+                        dec = exact64.decode_field_exact64(
+                            got, sub.shape, entropy="device", coder=1)
+                        t0 = time.time()
+                        dec = exact64.decode_field_exact64(
+                            got, sub.shape, entropy="device", coder=1)
+                        dec_s = time.time() - t0
+                        dref = wn2.decode_field(want, sub.shape, coder=1)
+                        dident = bool(np.array_equal(
+                            dec.view(np.uint64), dref.view(np.uint64)))
+                        ex_rows[str(N)] = {
+                            "encode_gbps": round(gbN / enc_s, 4),
+                            "decode_gbps": round(gbN / dec_s, 4),
+                            "stream_identical": ident,
+                            "decode_bitwise": dident,
+                        }
+                        log(f"  exact64 {N}^3 @tol {tol:g}: encode "
+                            f"{enc_s:.2f}s ({gbN/enc_s:.4f} GB/s), decode "
+                            f"{dec_s:.2f}s ({gbN/dec_s:.4f} GB/s), "
+                            f"stream-identical={ident} bitwise={dident}")
+                    with _line_lock:
+                        _line["exact64_onchip"] = ex_rows
+                except Exception as e:
+                    log(f"  exact64 row failed: {type(e).__name__}: {e}")
             # The emulated-f64 device transform floors at ~1e-12 rel, so
             # at near-lossless tolerances the device rows are marked
             # non-conforming. The device-vs-host comparison that honors

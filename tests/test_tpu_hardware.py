@@ -108,6 +108,47 @@ def test_conformance_guard_on_device():
                            entropy="device")
 
 
+def test_conformance_route_on_device(rng):
+    """conformance='route' falls back to a conforming backend below the
+    device floor: with entropy='device' the stream must equal exact64's
+    (== the native C++ stream, bit for bit)."""
+    from waverange_tpu.core import codec
+
+    from conftest import smooth_field
+    fld = smooth_field((32, 32, 32), rng, noise=1e-4)
+    enc = codec.encode_field(fld, 1e-16, backend="jax", coder="rans",
+                             entropy="device", conformance="route")
+    want = wn.encode_field(fld, wtflag=1, cutoff=np.array([1e-16]),
+                           coder=1)
+    assert enc.data == want["data"], "routed stream != native stream"
+    # above the floor the device path is used unchanged
+    enc2 = codec.encode_field(fld, 1e-7, backend="jax", coder="rans",
+                              entropy="device", conformance="route")
+    dev = codec.encode_field(fld, 1e-7, backend="jax", coder="rans",
+                             entropy="device", conformance="strict")
+    assert enc2.data == dev.data
+
+
+def test_margin_envelope_on_device(rng):
+    """Error-contract margin of the device path across sizes and
+    conforming tolerances: err <= 1.3 * tol * max|fld| with measured
+    headroom (the r3 squeeze was 80% of budget at 512^3/1e-10)."""
+    from waverange_tpu.core import codec
+
+    from conftest import smooth_field
+    for N in (64, 128):
+        fld = smooth_field((N, N, N), rng, noise=1e-3)
+        maxabs = float(np.abs(fld).max())
+        for tol in (1e-7, 1e-10):
+            enc = codec.encode_field(fld, tol, backend="jax",
+                                     coder="rans", entropy="device")
+            dec = codec.decode_field(enc, backend="jax",
+                                     entropy="device")
+            err = float(np.abs(dec - fld).max())
+            frac = err / (1.3 * tol * maxabs)
+            assert frac <= 1.0, (N, tol, err, frac)
+
+
 @pytest.mark.slow
 def test_exact64_on_chip_stream_identity(rng):
     """Software-IEEE f64 on the chip == native C++ stream, bit for bit

@@ -114,6 +114,45 @@ def test_cli_env_optin(tmp_path):
     assert np.abs(r - a).max() <= 1.3e-8 * np.abs(a).max() * 3
 
 
+@pytest.mark.slow
+def test_cli_env_backend_exact64(tmp_path):
+    """WR_BACKEND=exact64 routes the CLI encode through the software-
+    IEEE f64 device path; the emitted stream must be byte-identical to
+    the native path's (exact64's core guarantee) and decode losslessly
+    at the tolerance. slow: the CLI subprocess re-traces the softf64
+    graphs (~4 min) — the in-process equivalents run in test_softf64."""
+    a = (np.cos(np.arange(16 ** 3) / 100.0) * 2.0).reshape(16, 16, 16)
+    raw = tmp_path / "x.raw"
+    a.astype("<f8").tofile(raw)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, "build", "jax_cache_cpu")
+    env = dict(os.environ, WR_BACKEND="exact64", WR_CODER="rans",
+               JAX_COMPILATION_CACHE_DIR=cache,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    args = [sys.executable, "-m", "waverange_tpu.cli.wrenc", str(raw),
+            str(tmp_path / "x.wrb"), str(tmp_path / "x.wrh"), "2", "0",
+            "1", "2", "16", "16", "16", "1e-8"]
+    subprocess.run(args, check=True, env=env, cwd=tmp_path,
+                   capture_output=True)
+    # byte-identical to the native host pipeline with the same coder
+    env2 = dict(env, WR_BACKEND="native")
+    args2 = [sys.executable, "-m", "waverange_tpu.cli.wrenc", str(raw),
+             str(tmp_path / "y.wrb"), str(tmp_path / "y.wrh"), "2", "0",
+             "1", "2", "16", "16", "16", "1e-8"]
+    subprocess.run(args2, check=True, env=env2, cwd=tmp_path,
+                   capture_output=True)
+    assert (tmp_path / "x.wrb").read_bytes() == \
+        (tmp_path / "y.wrb").read_bytes()
+    args = [sys.executable, "-m", "waverange_tpu.cli.wrdec",
+            str(tmp_path / "x.wrb"), str(tmp_path / "x.wrh"),
+            str(tmp_path / "x.out"), "2", "0"]
+    subprocess.run(args, check=True, cwd=tmp_path, env=env,
+                   capture_output=True)
+    r = np.fromfile(tmp_path / "x.out", "<f8").reshape(a.shape)
+    assert np.abs(r - a).max() <= 1.3e-8 * np.abs(a).max() * 3
+
+
 def test_simd_streams_byte_identical_to_scalar():
     """The AVX-512 lane engine must produce byte-identical streams to the
     portable scalar loops (WR_NO_SIMD=1), and decode them interchangeably.

@@ -101,9 +101,11 @@ def _check_conformance(backend: str, precision: str, tolrel: float,
     """Refuse device paths whose dtype floor exceeds the requested
     tolerance (VERDICT r2 item 3: the error contract is
     err <= ~1.2 * tolrel * max|fld|, doc/cfdproc2017.pdf p.2 Fig.3)."""
-    if conformance not in ("strict", "degraded"):
-        raise ValueError("conformance must be 'strict' or 'degraded'")
-    if conformance != "strict" or backend != "jax" or not _accel_platform():
+    if conformance not in ("strict", "degraded", "route"):
+        raise ValueError("conformance must be 'strict', 'degraded' or "
+                         "'route'")
+    if conformance == "degraded" or backend != "jax" \
+            or not _accel_platform():
         return
     floor = (DEVICE_F32_REL_FLOOR if precision == "native"
              else DEVICE_F64_REL_FLOOR)
@@ -154,7 +156,10 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
 
     `conformance`: "strict" (default) refuses device paths whose dtype
     error floor exceeds `tolrel` (raising with the conforming
-    alternatives); "degraded" permits them.
+    alternatives); "route" silently falls back to a conforming backend
+    instead (exact64 when entropy='device' so the encode stays on-chip,
+    the native C++ pipeline otherwise); "degraded" permits the
+    non-conforming path.
     """
     backend = _resolve_backend(backend)
     cid = coder_id(coder)
@@ -164,7 +169,13 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
                          "'exact64' and coder='rans' (the v2 format is the "
                          "lane-parallel one; the v1 range coder is "
                          "sequential)")
-    _check_conformance(backend, precision, tolrel, conformance)
+    if conformance == "route":
+        try:
+            _check_conformance(backend, precision, tolrel, "strict")
+        except ValueError:
+            backend = "exact64" if entropy == "device" else "native"
+    else:
+        _check_conformance(backend, precision, tolrel, conformance)
     nz, ny, nx = fld.shape
     if cutoff is None:
         cutoff = np.array([tolrel], dtype=np.float64)
