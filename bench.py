@@ -213,7 +213,7 @@ def bench_tpu_hybrid(fld, tol, n_blocks=8):
                 nbytes_out=nbytes_out, err=max(errs), nlay=None)
 
 
-def bench_tpu_full(fld, tol, n_blocks=None):
+def bench_tpu_full(fld, tol, n_blocks=None, onchip=True):
     """Fully on-device pipeline: wavelet + quantize + rANS entropy all on
     the accelerator (Pallas kernel path); only compressed bytes cross the
     host link (divided z-slab layout). Uploads of slab k+1 are dispatched
@@ -261,54 +261,57 @@ def bench_tpu_full(fld, tol, n_blocks=None):
     x_w, out_w, nlay_w, streams_w = done[0]
 
     # --- on-chip compute-only rates (device-resident inputs/outputs) ---
-    comp = {}
-    t0 = time.time()
-    jax.block_until_ready(step(x_w, *consts))
-    comp["step_s"] = time.time() - t0
-    planes_w = out_w[0][:nlay_w]
-    # compute-only: blockify+histogram+normalize+pregather+chain in one
-    # device program (compaction ~+45 ms; no container download) — the
-    # chip's own rate as opposed to the tunnel's
-    try:
-        import jax.numpy as jnp2
-        nlw = planes_w.shape[0]
-        nbk = -(-n // rans.TBLOCK)
-        Bp = -(-(nlw * nbk) // 128) * 128
-        bs_d = jnp2.asarray(rans._plane_bs(nlw, nbk, n, Bp), jnp2.int32)
-        jax.block_until_ready(rans._prep_kernel_inputs(
-            planes_w, bs_d, nbk, Bp))
-        t0 = time.time()
-        jax.block_until_ready(rans._prep_kernel_inputs(
-            planes_w, bs_d, nbk, Bp))
-        comp["rans_enc_compute_s"] = time.time() - t0
-    except Exception:
-        pass
-    t0 = time.time()
-    s2 = rans.encode_planes_device(planes_w, n)
-    comp["rans_enc_s"] = time.time() - t0  # incl. compressed download
-    t0 = time.time()
-    jax.block_until_ready(rans.decode_planes_device(streams_w, n))
-    comp["rans_dec_s"] = time.time() - t0  # incl. compressed upload
+    comp = None
     dstep = jax.jit(partial(decode_step, shape=slabs[0].shape, levels=4))
-    deps_w, minv_w = out_w[1][:nlay_w], out_w[2][:nlay_w]
-    pl_dev = rans.decode_planes_device(streams_w, n)
-    jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
-    t0 = time.time()
-    jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
-    comp["dstep_s"] = time.time() - t0
-    slab_gb = slabs[0].nbytes / 1e9
-    comp["slab_gb"] = slab_gb
-    log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs (%.2f GB/s "
-        "incl link), rans dec %.3fs (%.2f GB/s incl link), decode step "
-        "%.3fs" % (
-            f"{slabs[0].shape}", comp["step_s"], comp["rans_enc_s"],
-            slab_gb / comp["rans_enc_s"], comp["rans_dec_s"],
-            slab_gb / comp["rans_dec_s"], comp["dstep_s"]))
-    if "rans_enc_compute_s" in comp:
-        log("  on-chip compute-only: rans encode kernels %.3fs "
-            "(%.2f GB/s of symbols; the link adds the rest)" % (
-                comp["rans_enc_compute_s"],
-                slab_gb / comp["rans_enc_compute_s"]))
+    if onchip:
+        comp = {}
+        t0 = time.time()
+        jax.block_until_ready(step(x_w, *consts))
+        comp["step_s"] = time.time() - t0
+        planes_w = out_w[0][:nlay_w]
+        # compute-only: blockify+histogram+normalize+pregather+chain in
+        # one device program (compaction ~+45 ms; no container
+        # download) — the chip's own rate as opposed to the tunnel's
+        try:
+            import jax.numpy as jnp2
+            nlw = planes_w.shape[0]
+            nbk = -(-n // rans.TBLOCK)
+            Bp = -(-(nlw * nbk) // 128) * 128
+            bs_d = jnp2.asarray(rans._plane_bs(nlw, nbk, n, Bp),
+                                jnp2.int32)
+            jax.block_until_ready(rans._prep_kernel_inputs(
+                planes_w, bs_d, nbk, Bp))
+            t0 = time.time()
+            jax.block_until_ready(rans._prep_kernel_inputs(
+                planes_w, bs_d, nbk, Bp))
+            comp["rans_enc_compute_s"] = time.time() - t0
+        except Exception:
+            pass
+        t0 = time.time()
+        s2 = rans.encode_planes_device(planes_w, n)
+        comp["rans_enc_s"] = time.time() - t0  # incl compressed download
+        t0 = time.time()
+        jax.block_until_ready(rans.decode_planes_device(streams_w, n))
+        comp["rans_dec_s"] = time.time() - t0  # incl compressed upload
+        deps_w, minv_w = out_w[1][:nlay_w], out_w[2][:nlay_w]
+        pl_dev = rans.decode_planes_device(streams_w, n)
+        jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
+        t0 = time.time()
+        jax.block_until_ready(dstep(pl_dev, deps_w, minv_w))
+        comp["dstep_s"] = time.time() - t0
+        slab_gb = slabs[0].nbytes / 1e9
+        comp["slab_gb"] = slab_gb
+        log("  on-chip (per %s slab): step %.3fs, rans enc %.3fs "
+            "(%.2f GB/s incl link), rans dec %.3fs (%.2f GB/s incl "
+            "link), decode step %.3fs" % (
+                f"{slabs[0].shape}", comp["step_s"], comp["rans_enc_s"],
+                slab_gb / comp["rans_enc_s"], comp["rans_dec_s"],
+                slab_gb / comp["rans_dec_s"], comp["dstep_s"]))
+        if "rans_enc_compute_s" in comp:
+            log("  on-chip compute-only: rans encode kernels %.3fs "
+                "(%.2f GB/s of symbols; the link adds the rest)" % (
+                    comp["rans_enc_compute_s"],
+                    slab_gb / comp["rans_enc_compute_s"]))
 
     # --- end-to-end encode: upload raw, download compressed only ---
     results = [None] * n_blocks
@@ -409,19 +412,11 @@ def verify_on_chip(fld, tol):
     except ImportError:
         log("  verify: exact64 unavailable, skipped")
 
-    # device-f64 error envelope across tolerances (emulated f64 floor);
-    # conformance='degraded' is explicit — the strict default refuses
-    # below-floor tolerances on device paths.
-    env = {}
-    for t in (1e-4, 1e-7, 1e-10, 1e-13, 1e-16):
-        e = codec.encode_field(sub, t, backend="jax", coder="rans",
-                               entropy="device", conformance="degraded")
-        d = codec.decode_field(e, backend="jax", entropy="device")
-        rel = float(np.abs(d - sub).max() / np.abs(sub).max())
-        env[f"{t:g}"] = rel
-        log(f"  verify: device f64 envelope tol {t:g} -> rel err {rel:.3e}"
-            f" ({'PASS' if rel <= 1.3 * t else 'floor-limited'})")
-    return env
+    # The per-tolerance error envelope that used to run here (5 device
+    # round trips at 128^3, ~3 min) is superseded by the margin table
+    # (margin_envelope), which reports err/(1.3*tol*max|fld|) across
+    # sizes AND tolerances in the headline JSON.
+    return True
 
 
 def margin_envelope(fld, sizes, tols=(1e-7, 1e-10)):
@@ -441,6 +436,12 @@ def margin_envelope(fld, sizes, tols=(1e-7, 1e-10)):
             err = float(np.abs(d - sub).max())
             frac = err / (1.3 * t * maxabs)
             out[f"{N}@{t:g}"] = round(frac, 4)
+            # fold incrementally: the watchdog may fire mid-sweep
+            with _line_lock:
+                _line.setdefault("margin", {})[f"{N}@{t:g}"] = \
+                    round(frac, 4)
+                _line["margin_ok"] = bool(all(
+                    v <= 1.0 for v in _line["margin"].values()))
             log(f"  margin: {N}^3 tol {t:g} -> err {err:.3e} = "
                 f"{frac:.2f} of contract budget"
                 f"{' BREACH' if frac > 1.0 else ''}")
@@ -630,11 +631,7 @@ def main():
                 # with generous budget left
                 if n >= 512 and remaining() > 600:
                     sizes.append(512)
-                margins = margin_envelope(fld, sizes)
-                with _line_lock:
-                    _line["margin"] = margins
-                    _line["margin_ok"] = bool(
-                        all(v <= 1.0 for v in margins.values()))
+                margin_envelope(fld, sizes)  # folds into _line itself
             # exact64 at scale: the conforming 1e-16 device story. The
             # software-IEEE f64 path runs the full encode on-chip
             # (device entropy stage) with streams bit-identical to the
@@ -675,12 +672,13 @@ def main():
                             "stream_identical": ident,
                             "decode_bitwise": dident,
                         }
+                        with _line_lock:  # incremental: watchdog-safe
+                            _line.setdefault("exact64_onchip", {})[
+                                str(N)] = ex_rows[str(N)]
                         log(f"  exact64 {N}^3 @tol {tol:g}: encode "
                             f"{enc_s:.2f}s ({gbN/enc_s:.4f} GB/s), decode "
                             f"{dec_s:.2f}s ({gbN/dec_s:.4f} GB/s), "
                             f"stream-identical={ident} bitwise={dident}")
-                    with _line_lock:
-                        _line["exact64_onchip"] = ex_rows
                 except Exception as e:
                     log(f"  exact64 row failed: {type(e).__name__}: {e}")
             # The emulated-f64 device transform floors at ~1e-12 rel, so
@@ -690,7 +688,7 @@ def main():
             # data): the contract holds there for both.
             if have(300, f"tpu-full vs native at tol {tol2:g}"):
                 log(f"tpu-full vs native at conforming tol {tol2:g}...")
-                rf2 = bench_tpu_full(fld, tol2)
+                rf2 = bench_tpu_full(fld, tol2, onchip=False)
                 rn2 = bench_native(fld, tol2, reps=1, coder=1)
                 log(f"  tol {tol2:g}: tpu-full encode "
                     f"{rf2['encode_s']:.2f}s "
@@ -709,7 +707,7 @@ def main():
                     }
         except Exception as e:
             log(f"  tpu-full failed: {type(e).__name__}: {e}")
-        if os.environ.get("WR_BENCH_SKIP_HYBRID") != "1" and \
+        if os.environ.get("WR_BENCH_SKIP_HYBRID", "1") != "1" and \
                 have(240, "tpu-hybrid"):
             try:
                 log("tpu-hybrid pipeline...")
