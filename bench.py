@@ -624,14 +624,6 @@ def main():
                 verify_env = verify_on_chip(fld, tol)
                 with _line_lock:
                     _line["verified_on_chip"] = True
-            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
-                    have(180, "margin envelope 128/256"):
-                sizes = [s for s in (128, 256) if s <= n]
-                # the 512^3 rows move ~4 GB through the tunnel: only
-                # with generous budget left
-                if n >= 512 and remaining() > 600:
-                    sizes.append(512)
-                margin_envelope(fld, sizes)  # folds into _line itself
             # exact64 at scale: the conforming 1e-16 device story. The
             # software-IEEE f64 path runs the full encode on-chip
             # (device entropy stage) with streams bit-identical to the
@@ -681,6 +673,17 @@ def main():
                             f"stream-identical={ident} bitwise={dident}")
                 except Exception as e:
                     log(f"  exact64 row failed: {type(e).__name__}: {e}")
+            # margin table AFTER the exact64 rows: its 256^3 entries
+            # each move ~270 MB through the tunnel and must not starve
+            # the cheaper sections
+            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
+                    have(180, "margin envelope"):
+                sizes = [s for s in (128, 256) if s <= n]
+                # the 512^3 rows move ~4 GB through the tunnel: only
+                # with generous budget left
+                if n >= 512 and remaining() > 600:
+                    sizes.append(512)
+                margin_envelope(fld, sizes)  # folds into _line itself
             # The emulated-f64 device transform floors at ~1e-12 rel, so
             # at near-lossless tolerances the device rows are marked
             # non-conforming. The device-vs-host comparison that honors
