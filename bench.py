@@ -86,20 +86,29 @@ def log(*a):
 
 
 def make_field(n):
+    """CFD-like field: smooth trigonometric base + band-limited noise at
+    two scales. Built slab-by-slab into ONE allocation: the r3 version
+    materialized three full-size np.repeat intermediates, whose
+    first-touch page faults alone cost ~200s at 1024^3 (27 us/page on
+    this VM class)."""
     log(f"generating {n}^3 f64 field...")
     t0 = time.time()
     i = np.arange(n)
     sx = np.sin(i / 17.3)
     sy = np.sin(i / 11.1) ** 2
     sz = np.cos(i / 23.7)
-    fld = (10.0 * sz[:, None, None] * sy[None, :, None] * sx[None, None, :])
     rng = np.random.default_rng(0)
-    # band-limited "turbulence": smooth noise at two scales
     small = rng.standard_normal((n // 8, n // 8, n // 8))
-    small = np.repeat(np.repeat(np.repeat(small, 8, 0), 8, 1), 8, 2)
-    fld += 0.05 * small
-    # f32 noise (cast on add): halves generation time, same character
-    fld += 1e-4 * rng.standard_normal((n, n, n), dtype=np.float32)
+    plane = 10.0 * (sy[:, None] * sx[None, :])          # (n, n)
+    fld = np.empty((n, n, n))
+    s2 = None
+    for k in range(n):
+        if k % 8 == 0:
+            s2 = 0.05 * np.repeat(np.repeat(small[k // 8], 8, 0), 8, 1)
+        slab = fld[k]
+        np.multiply(plane, sz[k], out=slab)
+        slab += s2
+        slab += 1e-4 * rng.standard_normal((n, n), dtype=np.float32)
     log(f"  field ready in {time.time()-t0:.1f}s")
     return fld
 
@@ -741,9 +750,10 @@ def main():
 
     # north-star shape, host pipelines (full-field device transfers at
     # 1024^3 don't fit the driver budget on this round's ~16 MB/s link).
-    # Field gen ~180-280s + native ~90s + reference ~340s: needs ~700s.
+    # Field gen ~75s + native encode/decode ~150s; the ~340s reference
+    # encode has its own gate below.
     if n == 512 and os.environ.get("WR_BENCH_1024") != "0" and \
-            have(700, "1024^3 host row"):
+            have(280, "1024^3 host row"):
         try:
             del fld
             f2 = make_field(1024)
