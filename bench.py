@@ -758,7 +758,7 @@ def main():
             del fld
             f2 = make_field(1024)
             g2 = f2.nbytes / 1e9
-            r1k = bench_native(f2, tol, reps=1)
+            r1k = bench_native(f2, tol, reps=2)
             log(f"1024^3 native: encode {r1k['encode_s']:.1f}s "
                 f"({g2/r1k['encode_s']:.3f} GB/s), decode "
                 f"{r1k['decode_s']:.1f}s, err {r1k['err']:.2e}")
