@@ -59,6 +59,14 @@ def _u32(x):
     return jnp.asarray(x, _U32)
 
 
+def _env_interpret() -> bool:
+    """WR_PALLAS_INTERPRET=1 runs every kernel in interpreter mode —
+    the CPU-suite hook for A/B-testing the kernel pipeline against the
+    C++ coder without a real chip (tests/test_rans_kernels_interpret)."""
+    import os
+    return os.environ.get("WR_PALLAS_INTERPRET") == "1"
+
+
 # Every pallas_call below is invoked under jax.enable_x64(False): the
 # enclosing process runs jax_enable_x64 (the codec's host arithmetic is
 # f64), under which fori_loop counters, index-map results and weak ints
@@ -106,6 +114,7 @@ def hist_blocks(blocks_t: jax.Array, interpret: bool = False) -> jax.Array:
     65536-row column set would need 8 MB x 2 pipeline buffers).
     Pad symbols land in bin 0 of their block; the caller subtracts the
     pad count from bin 0 (cheaper than masking in-kernel)."""
+    interpret = interpret or _env_interpret()
     B = blocks_t.shape[1]
     assert B % _HIST_TB == 0, B
     nc = TBLOCK // _HIST_RC
@@ -158,6 +167,7 @@ def pregather(blocks_t: jax.Array, etab_t: jax.Array,
     symbol's high 5 bits match the subtable id (32 gathered candidates
     + selects per 8-row group of symbol positions).
     """
+    interpret = interpret or _env_interpret()
     B = blocks_t.shape[1]
     assert B % _PG_TB == 0
     with jax.enable_x64(False):
@@ -265,6 +275,7 @@ def chain(e: jax.Array, bs_row: jax.Array, interpret: bool = False):
     """e (G, 8, B) u32 pre-gathered models (reverse-order consumption is
     internal); bs_row (1, B) i32. Returns (words (G,8,B) u16,
     emits (G,8,B) u8, x_fin (8, B) u32)."""
+    interpret = interpret or _env_interpret()
     B = e.shape[2]
     assert B % _CH_TB == 0
     nc = G // _CH_GC
@@ -414,6 +425,7 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
     states in [:, 0, :16] (padded to a legal Mosaic block shape).
     Rows not covered by any block's pieces are uninitialized.
     """
+    interpret = interpret or _env_interpret()
     B = words_b.shape[0]
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -634,6 +646,7 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
     short streams don't DMA the full 32768-word capacity.
     Returns syms (TBLOCK, B) u8 (position-major).
     """
+    interpret = interpret or _env_interpret()
     B = cum_t.shape[1]
     PC = pay.shape[1]
     assert B % _DC_TB == 0
