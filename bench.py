@@ -502,7 +502,7 @@ def main():
     # point — the artifact can never again end up with `parsed: null`.
     n = int(os.environ.get("WR_BENCH_N", "512"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
-    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "2"))
+    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "3"))
     if n >= 1024:
         os.environ.setdefault("WR_BENCH_SKIP_HYBRID", "1")
     _line.update({
