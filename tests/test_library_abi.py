@@ -79,6 +79,67 @@ def test_setup_wr(libdir):
     assert cap.value == 8 * 16 * 16 * 16
 
 
+def test_fortran_shim_abi_executes(libdir):
+    """Replicates examples/fortran/example_wr.f90's exact flow through
+    the `_f` shims — the reference's only self-checking test
+    (example_fort.f90:120-126). The reference builds Fortran with
+    -fno-underscoring (examples/fortran/Makefile), so a Fortran call to
+    `setup_wr_f` hits the very symbol invoked here with the same
+    by-reference argument convention; this image has no gfortran
+    (test_fortran_example_abi skips), but the ABI surface itself is
+    executed and asserted by this test."""
+    lib = ct.CDLL(str(libdir / "libwaverange.so"))
+    nx, ny, nz = ct.c_int(24), ct.c_int(16), ct.c_int(12)
+    n = 24 * 16 * 12
+    # setup_wr_f(nx, ny, nz, nlaymax, ntot_enc_max) — all by reference
+    nlaymax = ct.c_int()
+    cap = ct.c_long()
+    lib.setup_wr_f(ct.byref(nx), ct.byref(ny), ct.byref(nz),
+                   ct.byref(nlaymax), ct.byref(cap))
+    assert nlaymax.value == 8
+    assert cap.value == 8 * max(n, 1024)
+
+    a = smooth_field((12, 16, 24))
+    fld = np.ascontiguousarray(a, np.float64).copy()
+    orig = fld.copy()
+    tol = ct.c_double(1e-7)
+    wtflag = ct.c_int(1)
+    tolabs = ct.c_double()
+    midval = ct.c_double()
+    halfspan = ct.c_double()
+    wlev = ct.c_ubyte()
+    nlay = ct.c_ubyte()
+    ntot_enc = ct.c_long()           # signed on the Fortran side
+    deps = np.zeros(8)
+    minv = np.zeros(8)
+    lens = np.zeros(8, np.int64)     # signed (long) per the shim
+    data = np.zeros(cap.value, np.uint8)
+    dp = lambda arr: arr.ctypes.data_as(ct.POINTER(ct.c_double))
+    lib.encoding_wrap_f(
+        ct.byref(nx), ct.byref(ny), ct.byref(nz), dp(fld),
+        ct.byref(wtflag), ct.byref(tol),
+        ct.byref(tolabs), ct.byref(midval), ct.byref(halfspan),
+        ct.byref(wlev), ct.byref(nlay), ct.byref(ntot_enc),
+        dp(deps), dp(minv),
+        lens.ctypes.data_as(ct.POINTER(ct.c_long)),
+        data.ctypes.data_as(ct.POINTER(ct.c_ubyte)))
+    assert 1 <= nlay.value <= 8
+    assert 0 < ntot_enc.value <= cap.value
+    rec = np.zeros_like(fld)
+    # decoding_wrap_f takes no tolabs (the decoder ignores it —
+    # reference wrappers.cpp:567)
+    lib.decoding_wrap_f(
+        ct.byref(nx), ct.byref(ny), ct.byref(nz), dp(rec),
+        ct.byref(midval), ct.byref(halfspan),
+        ct.byref(wlev), ct.byref(nlay), ct.byref(ntot_enc),
+        dp(deps), dp(minv),
+        lens.ctypes.data_as(ct.POINTER(ct.c_long)),
+        data.ctypes.data_as(ct.POINTER(ct.c_ubyte)))
+    # the Fortran example's self-check: L-inf error within tolerance
+    err = np.abs(rec - orig).max()
+    assert err <= 1.3 * 1e-7 * np.abs(orig).max(), err
+
+
 def test_static_archive(libdir, tmp_path):
     """libwaverange.a links statically (reference ships both .a and .so)."""
     assert (libdir / "libwaverange.a").exists()
