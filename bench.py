@@ -55,16 +55,22 @@ def emit():
         print(json.dumps(_line), flush=True)
 
 
+_exit_on_budget = True   # scaling_report disables the hard exit
+
+
 def _watchdog():
     while not _emitted.is_set():
         left = remaining() - 20.0
         if left <= 0:
             log(f"BUDGET: {BUDGET:.0f}s nearly exhausted — emitting "
-                "headline from results so far and exiting")
+                "headline from results so far"
+                + (" and exiting" if _exit_on_budget else ""))
             _line.setdefault("budget_truncated", True)
             emit()
             sys.stdout.flush()
-            os._exit(0)
+            if _exit_on_budget:
+                os._exit(0)
+            return
         time.sleep(min(left, 5.0))
 
 
@@ -790,7 +796,12 @@ def main():
 
 def scaling_report():
     """--scaling: emit the BASELINE-required table into SCALING.md."""
+    global BUDGET, _exit_on_budget
     os.environ.setdefault("WR_BENCH_PAIRS", "2")
+    # the report must survive the budget: no hard exit, generous window
+    _exit_on_budget = False
+    if "WR_BENCH_BUDGET_S" not in os.environ:
+        BUDGET = 3300.0
     res = main()
     rn, ref, rf = res["native"], res["ref"], res["tpu_full"]
     gib = res["gib"]

@@ -580,28 +580,40 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
         cur = cur_ref[:]
         slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)     # (8, TB)
 
-        sym = jnp.zeros((8, TB), _I32)
-        cum_e = jnp.zeros((8, TB), _I32)
-        cum_i = jnp.full((8, TB), PROB_SCALE, _I32)
-
-        def sweep(sc, acc):
-            sym, cum_e, cum_i = acc
+        # count-only sweep: sym = #(cum <= slot) - 1 (2 vector ops per
+        # cum row; cum_e/cum_i come from the cheaper post-hoc lookups
+        # below instead of 2 selects per row)
+        def sweep(sc, sym):
             cs32 = cum_ref[pl.ds(sc * 32, 32), :]          # (32, TB)
             for j in range(32):
-                csj = cs32[j:j + 1, :]                     # (1, TB)
-                m = csj <= slot
-                sym = sym + m.astype(_I32)
-                cum_e = jnp.where(m, jnp.broadcast_to(csj, (8, TB)),
-                                  cum_e)
-                cum_i = jnp.where(
-                    jnp.logical_and(jnp.logical_not(m),
-                                    cum_i == PROB_SCALE),
-                    jnp.broadcast_to(csj, (8, TB)), cum_i)
-            return sym, cum_e, cum_i
+                sym = sym + (cs32[j:j + 1, :] <= slot).astype(_I32)
+            return sym
 
-        sym, cum_e, cum_i = jax.lax.fori_loop(
-            0, 8, sweep, (sym, cum_e, cum_i))
-        sym = sym - 1
+        sym = jax.lax.fori_loop(0, 8, sweep,
+                                jnp.zeros((8, TB), _I32)) - 1
+        # cum_e = cum[sym], cum_i = cum[sym+1] (PROB_SCALE past the
+        # end): 32 chunk iterations, each one legal (8, TB) row-gather
+        # + select. For zero-freq runs the count lands on the last
+        # index of the equal-cum run, so cum[sym+1] > cum[sym] always.
+        lo = sym & 7
+        hi = sym >> 3
+        symp = sym + 1
+        lop = symp & 7
+        hip = symp >> 3                  # 32 when symp == 256: no match
+
+        def pick_cum(p, carry):
+            ce, ci = carry
+            sub = cum_ref[pl.ds(p * 8, 8), :]              # (8, TB)
+            ge = jnp.take_along_axis(sub, lo, axis=0)
+            gi = jnp.take_along_axis(sub, lop, axis=0)
+            ce = jnp.where(hi == p, ge, ce)
+            ci = jnp.where(hip == p, gi, ci)
+            return ce, ci
+
+        cum_e, cum_i = jax.lax.fori_loop(
+            0, 32, pick_cum,
+            (jnp.zeros((8, TB), _I32), jnp.full((8, TB), PROB_SCALE,
+                                                _I32)))
         f = (cum_i - cum_e).astype(_U32)
         offv = (slot - cum_e).astype(_U32)
 
