@@ -23,6 +23,14 @@ import numpy as np
 from ..core.codec import CODER_VERSION, NLAYMAX, EncodedField, \
     encode_field, decode_field
 
+
+def _env_conformance() -> str:
+    """WR_CONFORMANCE=strict|route|degraded for the CLI/interface layer:
+    'route' silently falls back to exact64/native below the device
+    error floor (core/codec.py)."""
+    import os
+    return os.environ.get("WR_CONFORMANCE", "strict")
+
 # The 50 dataset names of a FluSI restart file (main_enc.cpp:319-330).
 BACKUP_DATASETS: List[str] = (
     ["ux", "uy", "uz", "nlkx0", "nlky0", "nlkz0", "nlkx1", "nlky1",
@@ -155,8 +163,8 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
         if verbose:
             print(f" dset={dsetname} nx={nx} ny={ny} nz={nz}")
         enc = encode_field(fld.reshape(nz, ny, nx), tol_base, wtflag=1,
-                           coder=coder,
-                           backend=backend)
+                           coder=coder, backend=backend,
+                           conformance=_env_conformance())
         with h5py.File(out_name, "a") as fout:
             payload = np.frombuffer(enc.data, np.uint8)
             dset = fout.create_dataset(dsetname, data=payload,
@@ -205,13 +213,15 @@ def encode_flusi_file(in_name: str, out_name: str, ifiletype: int,
                     enc = encs[name]
                 elif cut is None:
                     enc = encode_field(fld, tol_base, wtflag=1,
-                                       backend=backend, coder=coder)
+                                       backend=backend, coder=coder,
+                                       conformance=_env_conformance())
                 else:
                     mx, my, mz, cutoffvec = cut
                     enc = encode_field(fld, tol_base, wtflag=1,
                                        cutoff=cutoffvec, mx=mx, my=my,
                                        mz=mz, backend=backend,
-                                       coder=coder)
+                                       coder=coder,
+                                       conformance=_env_conformance())
                 if enc.ntot_enc > 0:
                     dset = fout.create_dataset(
                         name, data=np.frombuffer(enc.data, np.uint8),

@@ -25,6 +25,14 @@ from ..core.codec import (CODER_VERSION, NLAYMAX, EncodedField,
                           encode_field, decode_field)
 
 
+def _env_conformance() -> str:
+    """WR_CONFORMANCE=strict|route|degraded for the CLI/interface layer:
+    'route' silently falls back to exact64/native below the device
+    error floor (core/codec.py)."""
+    import os
+    return os.environ.get("WR_CONFORMANCE", "strict")
+
+
 def g19(x: float) -> str:
     """Format a double like C++ ostream << setprecision(19) (defaultfloat)."""
     return f"{float(x):.19g}"
@@ -311,7 +319,8 @@ def encode_generic_file(in_name: str, out_name: str, header_name: str,
                               icomp=spec.icomp, tol_base=spec.tol_base)
             if spec.icomp:
                 rec.enc = encode_field(fld, global_tol, wtflag=1,
-                                       backend=backend, coder=coder)
+                                       backend=backend, coder=coder,
+                                       conformance=_env_conformance())
                 with open(header_name, "a") as fh:
                     prev_ntot_enc = append_field_header(fh, rec,
                                                         prev_ntot_enc)

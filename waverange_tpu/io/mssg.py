@@ -28,6 +28,15 @@ from ..core.codec import CODER_VERSION, NLAYMAX, EncodedField, \
     encode_field, decode_field
 from .generic import g19, _TokenReader
 
+
+def _env_conformance() -> str:
+    """WR_CONFORMANCE=strict|route|degraded for the CLI/interface layer:
+    'route' silently falls back to exact64/native below the device
+    error floor (core/codec.py)."""
+    import os
+    return os.environ.get("WR_CONFORMANCE", "strict")
+
+
 NDSMAX = 50
 MSSG_FILE_DIG = 4
 MSSG_TIME_REC_LEN = 15
@@ -290,14 +299,14 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
                 e_mask = encode_field(
                     mask, MSSG_MASK_TOLREL, wtflag=0,
                     cutoff=np.array([MSSG_MASK_TOLREL]), backend=backend,
-                    coder=coder)
+                    coder=coder, conformance=_env_conformance())
                 with open(header_name, "a") as fh:
                     append_mssg_header(fh, it, "mask", e_mask)
                 if e_mask.ntot_enc > 0:
                     with open(out_name, "ab") as fo:
                         fo.write(e_mask.data)
             e = encode_field(fld, tol_base, wtflag=1, backend=backend,
-                             coder=coder)
+                             coder=coder, conformance=_env_conformance())
             with open(header_name, "a") as fh:
                 append_mssg_header(fh, it, dsetname, e)
             if e.ntot_enc > 0:
@@ -351,7 +360,7 @@ def encode_mssg(prefix: str, ext: str, ifiletype: int, iintype: int,
             if verbose:
                 print(f" dset={dsettab[idset]}")
             e = encode_field(fld, tol_base, wtflag=1, backend=backend,
-                             coder=coder)
+                             coder=coder, conformance=_env_conformance())
             with open(header_name, "a") as fh:
                 append_mssg_header(fh, idset, dsettab[idset], e)
             if e.ntot_enc > 0:
