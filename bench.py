@@ -445,6 +445,10 @@ def margin_envelope(fld, sizes, tols=(1e-7, 1e-10)):
         sub = np.ascontiguousarray(fld[:N, :N, :N])
         maxabs = float(np.abs(sub).max())
         for t in tols:
+            # per-entry gate: a 512^3 round trip can take 15+ min on a
+            # bad tunnel day — don't start one the budget can't absorb
+            if not have(60 + sub.nbytes / 4e6, f"margin {N}^3@{t:g}"):
+                return out
             e = codec.encode_field(sub, t, backend="jax", coder="rans",
                                    entropy="device")
             d = codec.decode_field(e, backend="jax", entropy="device")
