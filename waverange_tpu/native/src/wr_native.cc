@@ -209,9 +209,16 @@ class RangeDecoder {
   u8 first_byte() const { return first_byte_; }
 
   // Cumulative frequency of the next symbol under a total-tot model.
+  // step_ is clamped to >= 1: a CORRUPT stream can present a block
+  // "total" larger than the normalized range (counts are read raw from
+  // the wire), which would make step_ 0 and SIGFPE on the next divide.
+  // Valid streams never hit the clamp (tot <= 65536 < 2^23 < range_),
+  // so decoded bytes are unchanged; corrupt streams produce garbage
+  // output without crashing (the decoder's no-integrity contract).
   inline u32 cul_freq(u32 tot) {
     normalize();
     step_ = range_ / tot;
+    if (step_ == 0) step_ = 1;
     u32 t = low_ / step_;
     return t >= tot ? tot - 1 : t;
   }
@@ -220,6 +227,7 @@ class RangeDecoder {
   inline u32 cul_freq_m(u32 tot, const MagicDiv& md) {
     normalize();
     step_ = md.div(range_);
+    if (step_ == 0) step_ = 1;
     u32 t = low_ / step_;
     return t >= tot ? tot - 1 : t;
   }
@@ -345,8 +353,13 @@ u64 decode_plane(const u8* data, u64 len, u8* syms, u64 n_expected) {
   RangeDecoder dec(data, len);
   u32 counts[257];
   u64 pos = 0;
+  // corrupt-stream bound: no valid stream has more blocks than this
+  // (a zero-padded tail can otherwise keep yielding marker bits)
+  const u64 max_blocks = n_expected / kBlockSymbols + 2;
+  u64 nb = 0;
   std::vector<u8> inv;  // cumulative-frequency -> symbol lookup
   while (dec.cul_freq(2) == 1) {
+    if (++nb > max_blocks) break;
     dec.update(1, 1, 2);
     u32 cum = 0;
     for (int i = 0; i < 256; ++i) {
@@ -458,10 +471,12 @@ static void decode_planes_il(const u8* const* data, const u64* lens,
   u32 counts[K][257];
   std::vector<u8> inv[K];
   u64 pos = 0;
+  const u64 max_blocks = n / kBlockSymbols + 2;   // corrupt-stream bound
+  u64 nb = 0;
   for (;;) {
     u32 marker = decs[0].cul_freq(2);
     for (int k = 1; k < K; ++k) (void)decs[k].cul_freq(2);
-    if (marker != 1) break;
+    if (marker != 1 || ++nb > max_blocks) break;
     for (int k = 0; k < K; ++k) decs[k].update(1, 1, 2);
     u32 bs = 0;
     for (int k = 0; k < K; ++k) {
@@ -801,6 +816,10 @@ u64 decode_plane_t(const u8* data, u64 len, u8* syms, u64 n) {
     if (u64(rend - r) < plen || plen < u32(4 * kLanes)) return pos;
     cum[0] = 0;
     for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freqs[i];
+    // model validity: every conforming block's frequencies sum to
+    // exactly kProbScale; a corrupt model would otherwise index the
+    // symtab/dtab heap out of bounds below
+    if (cum[256] != kProbScale) return pos;
     for (int s = 0; s < 256; ++s)
       if (freqs[s]) std::memset(symtab.data() + cum[s], s, freqs[s]);
     const u8* w = r;
