@@ -594,6 +594,15 @@ def main():
             f"({gib/ref['encode_s']:.3f} GB/s), decode "
             f"{ref.get('decode_s', float('nan')):.2f}s, ratio "
             f"{ref['nbytes_out']/ref['nbytes_in']:.3f}")
+    # Provisional headline: if anything kills the process after this
+    # point (driver timeout shorter than our budget, OOM, tunnel hang
+    # the watchdog can't preempt), stdout already carries a parseable
+    # line with the host result. The final enriched line prints last
+    # and supersedes it for last-JSON-line parsers.
+    with _line_lock:
+        if not _emitted.is_set():
+            print(json.dumps(_line), flush=True)
+            log("provisional headline emitted (final follows)")
 
     # tpu sections: the first device->host transfer of a fresh process
     # pays the tunnel's multi-minute setup; everything after rides the
