@@ -441,7 +441,7 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
                 pl.BlockSpec((1, 8, 128), lambda b, off, np_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA],
         )
         return pl.pallas_call(
@@ -679,7 +679,7 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _DC_TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # full payload
+                pl.BlockSpec(memory_space=pl.ANY),  # full payload
             ],
             out_specs=pl.BlockSpec((_DC_GC * 8, _DC_TB),
                                    lambda t, c: (c, t),
