@@ -1645,7 +1645,10 @@ class BufPool {
   }
   static void put(std::vector<u8>&& v) {
     if (v.capacity() < (u64(1) << 20)) return;  // not worth pooling
-    v.clear();
+    // deliberately NOT cleared: keeping size() == high-water mark means
+    // the next get()'s resize() only shrinks or value-inits the grown
+    // tail — re-zeroing a pooled 8 GB plane buffer on every call would
+    // cost ~0.5 s by itself
     std::lock_guard<std::mutex> lk(mu());
     auto& p = pool();
     if (p.size() >= 24) {  // bound resident pool; drop the smallest
@@ -1951,14 +1954,16 @@ void encode_field_nc(const T* src, u64 nx, u64 ny, u64 nz, int wtflag,
     return;
   }
   auto t_mm = now();
-  // default-initialized (not value-initialized): the first sweep writes
-  // every element, so zero-filling 8n bytes here would be pure waste
-  std::unique_ptr<T[]> scratch(new T[n]);
+  // pooled (pages stay mapped across calls — an 8 GB fresh allocation
+  // at 1024^3 pays ~60 s of first-touch faults on this VM class); the
+  // first sweep writes every element before anything reads it
+  std::vector<u8> scratch_b =
+      BufPool::get(n * sizeof(T), n * sizeof(T));
+  T* scratch = reinterpret_cast<T*>(scratch_b.data());
   if (out->wlev > 0)
-    wavelet3d_forward_from(src, scratch.get(), nx, ny, nz,
-                           int(out->wlev));
+    wavelet3d_forward_from(src, scratch, nx, ny, nz, int(out->wlev));
   else
-    std::memcpy(scratch.get(), src, n * sizeof(T));
+    std::memcpy(scratch, src, n * sizeof(T));
   if (prof)
     fprintf(stderr, "[wr prof] minmax %.3fs wavelet(oop) %.3fs\n",
             secs(t_start, t_mm), secs(t_mm, now()));
@@ -1967,8 +1972,9 @@ void encode_field_nc(const T* src, u64 nx, u64 ny, u64 nz, int wtflag,
   out->tolabs = tolrel *
                 std::fmax(std::fabs(double(mn)), std::fabs(double(mx_))) /
                 kWavAccCoef;
-  encode_layers(scratch.get(), nx, ny, nz, mx, my, mz, cutoffvec, tolrel,
+  encode_layers(scratch, nx, ny, nz, mx, my, mz, cutoffvec, tolrel,
                 out, sink, coder);
+  BufPool::put(std::move(scratch_b));
   if (prof)
     fprintf(stderr, "[wr prof] encode_field_nc total %.3fs\n",
             secs(t_start, now()));
