@@ -1,8 +1,11 @@
 """Pallas TPU kernels for the format-v2 interleaved-rANS entropy stage.
 
 Byte-format oracle: ``turbo::encode_plane_t`` / ``decode_plane_t`` in
-``native/src/wr_native.cc`` — streams produced here are byte-identical
-(pinned by tests/test_rans_device.py A/B and the WR_TPU hardware tests).
+``native/src/wr_native.cc`` — streams produced here are byte-identical,
+pinned three ways: the XLA scan path A/B (tests/test_rans_device.py),
+the ACTUAL kernels through the Pallas interpreter in the default CPU
+suite (tests/test_rans_kernels_interpret.py, WR_PALLAS_INTERPRET=1),
+and on real hardware (WR_TPU=1 tests + every bench verify run).
 
 Why kernels (round-3 perf work): the XLA implementation in ops/rans.py
 is correct everywhere but loses ~100x to hardware limits on real chips —
