@@ -62,6 +62,21 @@ def test_sharded_encode_bounded_residency(mesh):
     assert encs[3].data == single.data
 
 
+def test_sharded_decode_bounded_residency(mesh):
+    """Decode-side mirror (VERDICT r4 item 4): entropy-decoded planes
+    stream to the device through the same threads+2 slot pool instead of
+    materializing the full (B, NLAYMAX, n) host matrix."""
+    from waverange_tpu.parallel import mesh as pm
+    fields = _batch(8, (16, 16, 16), seed=11)
+    encs = encode_fields_sharded(fields, 1e-6, mesh=mesh)
+    dec = decode_fields_sharded(encs, mesh=mesh, backend_threads=2)
+    assert pm._last_peak_resident_decode <= 2 + 2, \
+        pm._last_peak_resident_decode
+    for i in range(8):
+        err = np.abs(dec[i] - fields[i]).max()
+        assert err <= 1.3e-6 * np.abs(fields[i]).max()
+
+
 def test_sharded_uneven_batch(mesh):
     fields = _batch(5, (8, 8, 8), seed=3)
     encs = encode_fields_sharded(fields, 1e-5, mesh=mesh)

@@ -167,3 +167,40 @@ def test_exact_divmod_exhaustive_edges():
     q, r = rans._exact_divmod(jnp.asarray(x), jnp.asarray(fr), 9)
     assert np.array_equal(np.asarray(q), x // fr)
     assert np.array_equal(np.asarray(r), x % fr)
+
+
+def test_corrupt_stream_fuzz_never_crashes():
+    """Corrupt v2 containers through the device decode path (VERDICT r4
+    item 8): truncations and bit flips must either decode to garbage
+    (structurally valid — matching the reference range decoder's
+    no-integrity contract, rangecod.c:282-290) or raise a clean
+    ValueError from the framing parser — never an IndexError/numpy
+    shape error from deep inside the pipeline, and never a crash."""
+    rng = np.random.default_rng(2026)
+    syms = np.clip(rng.normal(96, 40, 70000), 0, 255).astype(np.uint8)
+    n = syms.size
+    good = rans.encode_planes([syms])[0]
+    assert np.array_equal(np.asarray(
+        rans.decode_planes_device([good], n))[0], syms)
+
+    def try_decode(s):
+        try:
+            out = rans.decode_planes_device([s], n)
+            assert np.asarray(out).shape == (1, n)
+        except ValueError as e:
+            assert "corrupt v2 stream" in str(e)
+
+    # truncations at every region boundary + random cuts
+    cuts = [0, 1, 2, 100, 516, 517, len(good) - 1]
+    cuts += [int(rng.integers(0, len(good))) for _ in range(40)]
+    for c in cuts:
+        try_decode(good[:c])
+    # oversized payload length field + unknown tags
+    for _ in range(60):
+        b = bytearray(good)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try_decode(bytes(b))
+    # zero-length and garbage-only streams
+    try_decode(b"")
+    try_decode(bytes(rng.integers(0, 256, 2000, dtype=np.uint8)))

@@ -174,6 +174,9 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
             _check_conformance(backend, precision, tolrel, "strict")
         except ValueError:
             backend = "exact64" if entropy == "device" else "native"
+            # The host f32 pipeline shares the ~1e-6 floor strict just
+            # refused; the routed fallback must be the widened f64 path.
+            precision = "f64"
     else:
         _check_conformance(backend, precision, tolrel, conformance)
     nz, ny, nx = fld.shape
@@ -195,11 +198,11 @@ def encode_field(fld: np.ndarray, tolrel: float, wtflag: int = 1,
             meta = _encode_jax(fld, tolrel, wtflag=wtflag,
                                keep_dtype=(precision == "native"),
                                coder=cid, entropy=entropy)
-    elif (precision == "native" and fld.dtype == np.float32
-          and mx == my == mz == 1):
+    elif precision == "native" and fld.dtype == np.float32:
         with timed("encode.native.f32"):
             meta = wn.encode_field_f32(fld, tolrel, wtflag=wtflag,
-                                       coder=cid)
+                                       coder=cid, cutoff=cutoff,
+                                       mx=mx, my=my, mz=mz)
     else:
         with timed("encode.native"):
             meta = wn.encode_field(np.asarray(fld, np.float64),

@@ -72,8 +72,9 @@ def get_lib() -> ct.CDLL:
         lib.wrn_wavelet3d_f32.argtypes = [f32p, u64, u64, u64, ct.c_int]
         lib.wrn_encode_field_f32.restype = u64
         lib.wrn_encode_field_f32.argtypes = [
-            f32p, u64, u64, u64, ct.c_int, ct.c_double, f64p, f64p, f64p,
-            u8p, u8p, f64p, f64p, u64p, u8p, ct.c_int]
+            f32p, u64, u64, u64, ct.c_int, ct.c_int, ct.c_int, ct.c_int,
+            f64p, f64p, f64p, f64p, u8p, u8p, f64p, f64p, u64p, u8p,
+            ct.c_int]
         lib.wrn_decode_field_f32.restype = None
         lib.wrn_decode_field_f32.argtypes = [
             f32p, u64, u64, u64, ct.c_double, ct.c_uint8, ct.c_uint8, u64,
@@ -81,8 +82,21 @@ def get_lib() -> ct.CDLL:
         lib.wrn_mask_separate.restype = ct.c_double
         lib.wrn_mask_separate.argtypes = [f64p, f64p, u64, ct.c_double,
                                           ct.c_double]
+        lib.wrn_pool_trim.restype = None
+        lib.wrn_pool_trim.argtypes = []
         _lib = lib
     return _lib
+
+
+# encode overflow sentinel from the C ABI (encoded size exceeded the
+# setup_wr safety-buffer contract; see wr_native.cc encode_layers)
+_ENC_OVERFLOW = 2**64 - 1
+
+
+def pool_trim() -> None:
+    """Release the native library's process-wide buffer pool (frees the
+    ~GBs of recycled pages a large-field batch leaves mapped)."""
+    get_lib().wrn_pool_trim()
 
 
 def _u8p(a: np.ndarray):
@@ -243,6 +257,10 @@ def encode_field(fld: np.ndarray, wtflag: int = 1,
         ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
         ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),
         _u64p(len_enc_vec), _u8p(data_enc), coder)
+    if ntot_enc == _ENC_OVERFLOW:
+        raise ValueError(
+            "encoded size exceeds the 8*max(n,1024)-byte safety buffer "
+            "(near-incompressible field); the stream was not produced")
     return dict(
         tolabs=tolabs.value, midval=midval.value,
         halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,
@@ -255,15 +273,22 @@ def _f32p(a: np.ndarray):
 
 
 def encode_field_f32(fld: np.ndarray, tolrel: float, wtflag: int = 1,
-                     coder: int = 0) -> dict:
+                     coder: int = 0, cutoff=None, mx: int = 1,
+                     my: int = 1, mz: int = 1) -> dict:
     """f32-native host encode (opt-in throughput mode): lifting,
     quantization and residuals all in f32 — half the memory bandwidth of
     the widened f64 path. Stream format identical (f64 metadata); NOT
-    the bit-exact reference path (uniform cutoff only)."""
+    the bit-exact reference path. `cutoff`/(mx,my,mz) select the
+    local-cutoff masked quantizer (templated like the f64 one;
+    reference wrappers.cpp:343-379)."""
     lib = get_lib()
     fld = np.ascontiguousarray(fld, dtype=np.float32).copy()
     nz, ny, nx = fld.shape
     n = fld.size
+    if cutoff is None:
+        cutoff = np.array([tolrel], dtype=np.float64)
+    cutoffvec = np.ascontiguousarray(cutoff, dtype=np.float64).ravel()
+    assert cutoffvec.size == mx * my * mz
     tolabs = ct.c_double()
     midval = ct.c_double()
     halfspanval = ct.c_double()
@@ -274,10 +299,14 @@ def encode_field_f32(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     len_enc_vec = np.zeros(NLAYMAX, dtype=np.uint64)
     data_enc = np.empty(NLAYMAX * max(n, 1024), dtype=np.uint8)
     ntot_enc = lib.wrn_encode_field_f32(
-        _f32p(fld), nx, ny, nz, wtflag, tolrel,
+        _f32p(fld), nx, ny, nz, wtflag, mx, my, mz, _f64p(cutoffvec),
         ct.byref(tolabs), ct.byref(midval), ct.byref(halfspanval),
         ct.byref(wlev), ct.byref(nlay), _f64p(deps_vec), _f64p(minval_vec),
         _u64p(len_enc_vec), _u8p(data_enc), coder)
+    if ntot_enc == _ENC_OVERFLOW:
+        raise ValueError(
+            "encoded size exceeds the 8*max(n,1024)-byte safety buffer "
+            "(near-incompressible field); the stream was not produced")
     return dict(
         tolabs=tolabs.value, midval=midval.value,
         halfspanval=halfspanval.value, wlev=wlev.value, nlay=nlay.value,

@@ -462,9 +462,11 @@ static void encode_planes_il(const u8* const* syms, u64 n,
 // same n have identical framing; for corrupt input the output is garbage
 // (matching decode_plane's no-integrity-check contract) but never reads
 // out of bounds (inv tables are padded to the lockstep block size).
+// Returns the shared symbol count written per stream (== n for
+// conforming streams), clamped to n.
 template <int K>
-static void decode_planes_il(const u8* const* data, const u64* lens,
-                             u8* const* syms, u64 n) {
+static u64 decode_planes_il(const u8* const* data, const u64* lens,
+                            u8* const* syms, u64 n) {
   std::vector<RangeDecoder> decs;
   decs.reserve(K);
   for (int k = 0; k < K; ++k) decs.emplace_back(data[k], lens[k]);
@@ -514,6 +516,7 @@ static void decode_planes_il(const u8* const* data, const u64* lens,
     }
   }
   for (int k = 0; k < K; ++k) decs[k].finish();
+  return std::min(pos, n);
 }
 
 // ----------------------------------------------------------------------------
@@ -1294,10 +1297,10 @@ void wavelet3d_inverse(T* fld, u64 nx, u64 ny, u64 nz, int levels) {
 // ----------------------------------------------------------------------------
 // Interleave-width selection + grouped dispatch helpers.
 // ----------------------------------------------------------------------------
-// Defaults from measurement (see PERFORMANCE.md): the encoder is
-// throughput-bound (stores + renorm branches) and peaks at pairs; the
-// decoder's per-symbol udiv chain is latency-bound and keeps gaining
-// through 4 streams.
+// Defaults from measurement (see PERFORMANCE.md): 4-wide lockstep on
+// both sides — the decoder's per-symbol udiv chain is latency-bound and
+// keeps gaining through 4 streams, and the encoder was re-measured
+// faster at 4 as well (numbers below).
 static int il_width(bool decode) {
   if (const char* e = getenv("WR_IL_STREAMS")) {
     int v = atoi(e);
@@ -1330,22 +1333,27 @@ static void encode_planes_group(const u8* const* syms, int cnt, u64 n,
   }
 }
 
+// `ndec[k]` receives each stream's decoded symbol count clamped to n
+// (== n for conforming streams; shorter for truncated/corrupt input so
+// callers can zero the stale tail of a pooled plane buffer).
 static void decode_planes_group(const u8* const* data, const u64* lens,
-                                int cnt, u8* const* syms, u64 n) {
+                                int cnt, u8* const* syms, u64 n,
+                                u64* ndec) {
   switch (cnt) {
     case 4:
-      decode_planes_il<4>(data, lens, syms, n);
+      ndec[0] = ndec[1] = ndec[2] = ndec[3] =
+          decode_planes_il<4>(data, lens, syms, n);
       break;
     case 3: {
-      decode_planes_il<2>(data, lens, syms, n);
-      decode_plane(data[2], lens[2], syms[2], n);
+      ndec[0] = ndec[1] = decode_planes_il<2>(data, lens, syms, n);
+      ndec[2] = std::min(decode_plane(data[2], lens[2], syms[2], n), n);
       break;
     }
     case 2:
-      decode_planes_il<2>(data, lens, syms, n);
+      ndec[0] = ndec[1] = decode_planes_il<2>(data, lens, syms, n);
       break;
     default:
-      decode_plane(data[0], lens[0], syms[0], n);
+      ndec[0] = std::min(decode_plane(data[0], lens[0], syms[0], n), n);
   }
 }
 
@@ -1551,23 +1559,27 @@ static LayerResult quantize_layer_fused(T* fld, u8* syms, u64 n,
 }
 
 // Local-cutoff variant (mtot > 1): per-element precision mask driven by the
-// physical->wavelet index map (contract: wrappers.cpp:343-379).
-static LayerResult quantize_layer_masked(double* fld, u8* syms, u64 nx, u64 ny,
+// physical->wavelet index map (contract: wrappers.cpp:343-379). Templated
+// over the pipeline dtype like the rest of the quantizer; the f32
+// instantiation follows the f32 pipeline's convention of running the
+// layer arithmetic in T (parity with quantize_layer_fused<float>).
+template <typename T>
+static LayerResult quantize_layer_masked(T* fld, u8* syms, u64 nx, u64 ny,
                                          u64 nz, double tolabs, double tolrel,
                                          int wlev, int mx, int my, int mz,
                                          const double* cutoffvec, int ilay) {
   const u64 n = nx * ny * nz;
-  double mn, mxv;
+  T mn, mxv;
   minmax_scan(fld, n, &mn, &mxv);
-  double deps = (mxv - mn) / 255.0;
+  T deps = (mxv - mn) / T(255.0);
   bool last = false;
-  if (deps < tolabs) {
-    deps = tolabs;
+  if (deps < T(tolabs)) {
+    deps = T(tolabs);
     last = true;
   }
   if (ilay >= kLayersMax - 1) last = true;
-  const double a = 1.0 / deps;
-  const double b = -mn * a + 0.5;
+  const T a = T(1.0) / deps;
+  const T b = -mn * a + T(0.5);
   for (u64 jp = 0; jp < n; ++jp) {
     int px = int(jp % nx), py = int((jp / nx) % ny), pz = int(jp / nx / ny);
     int l, wx, wy, wz;
@@ -1581,16 +1593,16 @@ static LayerResult quantize_layer_masked(double* fld, u8* syms, u64 nx, u64 ny,
       precmask = tolabs / tolrel * cutoffvec[kx + mx * ky + mx * my * kz];
     }
     u64 jw = u64(wx) + nx * u64(wy) + nx * ny * u64(wz);
-    if (mxv - mn < precmask) {
+    if (double(mxv) - double(mn) < precmask) {
       syms[jw] = 0;
       fld[jw] = mn;
     } else {
-      double fq = a * fld[jw] + b;
+      T fq = a * fld[jw] + b;
       syms[jw] = u8(fq);
     }
   }
   for (u64 j = 0; j < n; ++j) fld[j] = fld[j] - (syms[j] * deps + mn);
-  return {deps, mn, last};
+  return {double(deps), double(mn), last};
 }
 
 // ----------------------------------------------------------------------------
@@ -1658,8 +1670,37 @@ class BufPool {
       p.erase(p.begin() + mi);
     }
     p.push_back(std::move(v));
+    // Total-bytes budget (WR_POOL_BYTES, default 48 GiB — comfortably
+    // above the ~32 GB a 1024^3 encode recycles, but a bound for
+    // long-lived mixed-size workloads). Evict smallest-first: the large
+    // buffers are the expensive ones to re-fault.
+    u64 total = 0;
+    for (auto& b : p) total += b.capacity();
+    while (total > budget() && p.size() > 1) {
+      int mi = 0;
+      for (int i = 1; i < (int)p.size(); ++i)
+        if (p[i].capacity() < p[mi].capacity()) mi = i;
+      total -= p[mi].capacity();
+      p.erase(p.begin() + mi);
+    }
+  }
+  // Release every pooled buffer (exposed through the C ABI as
+  // wrn_pool_trim for callers that just finished a large batch).
+  static void trim() {
+    std::lock_guard<std::mutex> lk(mu());
+    pool().clear();
   }
  private:
+  static u64 budget() {
+    static const u64 b = [] {
+      if (const char* e = getenv("WR_POOL_BYTES")) {
+        double v = atof(e);
+        if (v > 0) return (u64)v;
+      }
+      return u64(48) << 30;
+    }();
+    return b;
+  }
   static std::mutex& mu() {
     static std::mutex m;
     return m;
@@ -1811,20 +1852,13 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
     u8* syms = planebuf.data() + u64(ilay % slots) * n;
     LayerResult lr;
     if (mtot > 1) {
-      // Local-cutoff exists only in the f64 conformance pipeline
-      // (reference wrappers.cpp:343-379 is double-only). The f32 entry
-      // points cannot express mtot > 1 (no cutoffvec parameter), so the
-      // float instantiation of this branch is unreachable; assert rather
-      // than silently degrading to the uniform path.
-      if constexpr (std::is_same<T, double>::value) {
-        lr = quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
-                                   tolrel, out->wlev, mx, my, mz, cutoffvec,
-                                   ilay);
-      } else {
-        assert(!"local-cutoff (mtot > 1) requires the f64 pipeline");
-        lr = quantize_layer_fused(fld, syms, n, T(out->tolabs), ilay, lmn,
-                                  lmx, &lmn, &lmx);
-      }
+      // Local-cutoff (reference wrappers.cpp:343-379) templated over the
+      // pipeline dtype; effectively uniform in practice (SURVEY §2
+      // ind_p2w_3d quirk) but the masked sweep is honored in both
+      // precisions.
+      lr = quantize_layer_masked(fld, syms, nx, ny, nz, out->tolabs,
+                                 tolrel, out->wlev, mx, my, mz, cutoffvec,
+                                 ilay);
     } else {
       lr = quantize_layer_fused(fld, syms, n, T(out->tolabs), ilay, lmn,
                                 lmx, &lmn, &lmx);
@@ -1857,10 +1891,21 @@ static void encode_layers(T* fld, u64 nx, u64 ny, u64 nz, int mx, int my,
   u64 total = 0;
   for (int l = 0; l < ilay; ++l) total += streams[l].size();
   // Safety-buffer contract (wrappers.cpp:415-427): the caller allocated
-  // SAFETY_BUFFER_FACTOR * NLAYMAX * max(n, 1024) bytes.
+  // SAFETY_BUFFER_FACTOR * NLAYMAX * max(n, 1024) bytes. Reachable for
+  // near-incompressible 8-layer fields (block-model overhead); these
+  // frames sit under an extern "C" ABI (ctypes / Fortran) where an
+  // escaping exception is std::terminate, so signal via the
+  // ntot_enc == ~0 sentinel instead of throwing (the Python layer
+  // raises ValueError; Fortran callers see ntot_enc_sg == -1).
   const u64 cap = u64(kLayersMax) * std::max<u64>(n, 1024);
-  if (total > cap)
-    throw std::runtime_error("encoded size exceeds safety buffer");
+  if (total > cap) {
+    out->nlay = u8(ilay);
+    out->ntot_enc = ~u64(0);
+    BufPool::put(std::move(planebuf));
+    for (int l = 0; l < kLayersMax; ++l)
+      BufPool::put(std::move(streams[l]));
+    return;
+  }
   u64 off = 0;
   for (int l = 0; l < ilay; ++l) {
     out->len_enc_vec[l] = streams[l].size();
@@ -2033,20 +2078,30 @@ void decode_field(T* fld, u64 nx, u64 ny, u64 nz, double midval, u8 wlev,
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return accumulated > l + cnt - 1 - slots; });
       }
+      // Plane slots come from the pool un-zeroed; a corrupt/truncated
+      // stream that decodes fewer than n symbols must not leak stale
+      // bytes from prior encodes into the field — zero the tail.
       if (coder == 0 && cnt > 1) {
         const u8* d[4];
         u64 ln[4];
         u8* s[4];
+        u64 nd[4];
         for (int k = 0; k < cnt; ++k) {
           d[k] = data_enc + offs[l + k];
           ln[k] = len_enc_vec[l + k];
           s[k] = planebuf.data() + u64((l + k) % slots) * n;
         }
-        decode_planes_group(d, ln, cnt, s, n);
-      } else {
+        decode_planes_group(d, ln, cnt, s, n, nd);
         for (int k = 0; k < cnt; ++k)
-          decode_plane_c(coder, data_enc + offs[l + k], len_enc_vec[l + k],
-                         planebuf.data() + u64((l + k) % slots) * n, n);
+          if (nd[k] < n) std::memset(s[k] + nd[k], 0, n - nd[k]);
+      } else {
+        for (int k = 0; k < cnt; ++k) {
+          u8* s = planebuf.data() + u64((l + k) % slots) * n;
+          u64 nd = std::min(
+              decode_plane_c(coder, data_enc + offs[l + k],
+                             len_enc_vec[l + k], s, n), n);
+          if (nd < n) std::memset(s + nd, 0, n - nd);
+        }
       }
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -2177,12 +2232,17 @@ void wrn_decode_planes_batch(const uint8_t* data, const uint64_t* lens,
         glens[k] = lens[i + k];
         sptrs[k] = syms + (i + k) * n;
       }
+      uint64_t nd[4];
       if (coder == 0) {
-        wr::decode_planes_group(dptrs, glens, cnt, sptrs, n);
+        wr::decode_planes_group(dptrs, glens, cnt, sptrs, n, nd);
       } else {
         for (int k = 0; k < cnt; ++k)
-          wr::decode_plane_c(coder, dptrs[k], glens[k], sptrs[k], n);
+          nd[k] = std::min<uint64_t>(
+              wr::decode_plane_c(coder, dptrs[k], glens[k], sptrs[k], n),
+              n);
       }
+      for (int k = 0; k < cnt; ++k)
+        if (nd[k] < n) std::memset(sptrs[k] + nd[k], 0, n - nd[k]);
     }
   };
   int nt = std::max(1, nthreads);
@@ -2280,15 +2340,15 @@ void wrn_decode_field(double* fld, uint64_t nx, uint64_t ny, uint64_t nz,
 // bit-exact reference path) -------------------------------------------------
 
 uint64_t wrn_encode_field_f32(float* fld, uint64_t nx, uint64_t ny,
-                              uint64_t nz, int wtflag, double tolrel,
+                              uint64_t nz, int wtflag, int mx, int my,
+                              int mz, const double* cutoffvec,
                               double* tolabs, double* midval,
                               double* halfspanval, uint8_t* wlev,
                               uint8_t* nlay, double* deps_vec,
                               double* minval_vec, uint64_t* len_enc_vec,
                               uint8_t* data_enc, int coder) {
   wr::EncodeOut eo;
-  double cutoff[1] = {tolrel};
-  wr::encode_field(fld, nx, ny, nz, wtflag, 1, 1, 1, cutoff, &eo,
+  wr::encode_field(fld, nx, ny, nz, wtflag, mx, my, mz, cutoffvec, &eo,
                    data_enc, coder);
   *tolabs = eo.tolabs;
   *midval = eo.midval;
@@ -2340,6 +2400,10 @@ double wrn_mask_separate(double* fld, double* mask, uint64_t n,
 }
 
 int wrn_version() { return 10000; }  // waverange_tpu native ABI version
+
+// Release every buffer held by the process-wide pool (callers that just
+// finished a large batch and want the ~GBs of recycled pages back).
+void wrn_pool_trim() { wr::BufPool::trim(); }
 
 // Exactness self-test for MagicDiv over the coder's divisor domain
 // (1..2^17) with boundary-adversarial dividends. Returns 0 on success.

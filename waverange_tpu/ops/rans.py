@@ -603,28 +603,57 @@ def _decode_scan(freqs, states, words, wlen, bs, G: int, unroll: int):
 def _parse_stream(data: bytes, n: int):
     """Walk a v2 container; yields (pos, bsz, tag, freqs, aux) per block:
     tag 0 -> (freqs, payload), tag 1 -> (None, raw bytes),
-    tag 2 -> (None, symbol int)."""
+    tag 2 -> (None, symbol int).
+
+    Corrupt input (truncated container, unknown tag, payload running past
+    the buffer) raises ValueError here, at the framing layer — decoded
+    SYMBOLS from a bit-flipped but structurally valid stream are garbage
+    by contract (the reference range decoder has no integrity check
+    either, rangecod.c:282-290), but malformed framing must never
+    surface as an IndexError/ValueError from deep inside numpy."""
     mv = memoryview(data)
+    total = len(mv)
     pos = 0
     blocks = []
     r = 0
     while pos < n:
         bsz = min(TBLOCK, n - pos)
+        if r >= total:
+            raise ValueError(
+                f"corrupt v2 stream: truncated at block tag "
+                f"(offset {r} of {total}, {n - pos} symbols missing)")
         tag = mv[r]
         r += 1
         if tag == 2:
+            if r >= total:
+                raise ValueError(
+                    "corrupt v2 stream: truncated constant block")
             blocks.append((pos, bsz, 2, None, mv[r]))
             r += 1
         elif tag == 1:
+            if r + bsz > total:
+                raise ValueError(
+                    f"corrupt v2 stream: raw block declares {bsz} bytes, "
+                    f"{total - r} remain")
             blocks.append((pos, bsz, 1, None, mv[r:r + bsz]))
             r += bsz
-        else:
+        elif tag == 0:
+            if r + 516 > total:
+                raise ValueError(
+                    "corrupt v2 stream: truncated model header "
+                    f"({total - r} of 516 bytes)")
             freqs = np.frombuffer(mv[r:r + 512], "<u2")
             r += 512
             plen = int(np.frombuffer(mv[r:r + 4], "<u4")[0])
             r += 4
+            if plen and (plen < 32 or r + plen > total):
+                raise ValueError(
+                    f"corrupt v2 stream: block payload length {plen} "
+                    f"invalid ({total - r} bytes remain)")
             blocks.append((pos, bsz, 0, freqs, mv[r:r + plen]))
             r += plen
+        else:
+            raise ValueError(f"corrupt v2 stream: unknown block tag {tag}")
         pos += bsz
     return blocks
 

@@ -181,59 +181,124 @@ def _stream_code_planes(planes_dev, idx, backend_threads=None):
     return streams
 
 
+#: test hook — peak count of host-resident symbol planes during the last
+#: `_stream_decode_planes` call (must stay <= threads + 2).
+_last_peak_resident_decode = 0
+
+
+def _stream_decode_planes(encs: Sequence[EncodedField], n: int,
+                          backend_threads: Optional[int] = None):
+    """Entropy-decode per (field, layer) with bounded host residency.
+
+    Mirror of `_stream_code_planes` (VERDICT r4 item 4): a plane is
+    decoded only when one of `threads + 2` slots is free and uploaded to
+    the device as soon as it is ready — at most `threads + 2` planes live
+    on the host at any instant regardless of batch size (the old path
+    materialized the full (B, NLAYMAX, n) matrix: 8.6 GiB for 8
+    1024^3-slab fields). Returns {(b, l): device (n,) u8 array}.
+    """
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.codec import coder_id_for_version
+
+    global _last_peak_resident_decode
+    nthreads = backend_threads or os.cpu_count() or 1
+    slots = nthreads + 2
+    sem = threading.Semaphore(slots)
+    lock = threading.Lock()
+    resident = 0
+    peak = 0
+    out = {}
+
+    def one(key, data, coder):
+        nonlocal resident
+        try:
+            plane = wn.decode_plane(data, n, coder=coder)
+            d = jax.device_put(plane)
+            d.block_until_ready()  # host buffer is free after this
+            out[key] = d
+        finally:
+            with lock:
+                resident -= 1
+            sem.release()
+
+    with ThreadPoolExecutor(max_workers=nthreads) as pool:
+        futs = []
+        for b, e in enumerate(encs):
+            if e.ntot_enc == 0:
+                continue
+            offs = np.concatenate(
+                [[0], np.cumsum(e.len_enc_vec[:e.nlay])]).astype(int)
+            cid = coder_id_for_version(e.coder_version)
+            for l in range(e.nlay):
+                sem.acquire()
+                with lock:
+                    resident += 1
+                    peak = max(peak, resident)
+                futs.append(pool.submit(
+                    one, (b, l), e.data[offs[l]:offs[l + 1]], cid))
+        for f in futs:
+            f.result()
+    _last_peak_resident_decode = peak
+    return out
+
+
 def decode_fields_sharded(encs: Sequence[EncodedField],
                           mesh: Optional[Mesh] = None,
                           backend_threads: Optional[int] = None
                           ) -> np.ndarray:
-    """Decode equally-shaped fields: host entropy-decode (threaded), then
-    a sharded device accumulate+inverse-wavelet batch."""
+    """Decode equally-shaped fields: streamed host entropy-decode
+    (threaded, bounded residency), then a sharded device
+    accumulate+inverse-wavelet batch."""
     B = len(encs)
     nz, ny, nx = encs[0].shape_zyx
     n = nz * ny * nx
-    # entropy-decode all layers of all fields in one threaded batch
-    idx = [(b, l) for b, e in enumerate(encs) for l in range(e.nlay)]
-    all_lens = np.array([encs[b].len_enc_vec[l] for (b, l) in idx],
-                        np.uint64)
-    blob = b"".join(encs[b].data for b in range(B))
-    planes_flat = (wn.decode_planes_batch(blob, all_lens, n,
-                                          nthreads=backend_threads)
-                   if idx else np.zeros((0, n), np.uint8))
-    planes = np.zeros((B, NLAYMAX, n), np.uint8)
+    dev = _stream_decode_planes(encs, n, backend_threads)
     deps = np.zeros((B, NLAYMAX))
     minv = np.zeros((B, NLAYMAX))
-    k = 0
-    for (b, l) in idx:
-        planes[b, l] = planes_flat[k]
-        k += 1
     for b, e in enumerate(encs):
         deps[b, :e.nlay] = e.deps_vec[:e.nlay]
         minv[b, :e.nlay] = e.minval_vec[:e.nlay]
 
-    xs = jnp.asarray(planes)
+    # assemble (B, NLAYMAX, n) on the device from the streamed planes
+    zero = jnp.zeros((n,), jnp.uint8)
+    xs = jnp.stack([
+        jnp.stack([dev.get((b, l), zero) for l in range(NLAYMAX)])
+        for b in range(B)])
+    deps_p, minv_p = deps, minv
     if mesh is not None:
         # batch must divide evenly for sharding; replicate-pad
         d = mesh.devices.size
         pad = (-B) % d
         if pad:
             xs = jnp.concatenate([xs, jnp.repeat(xs[-1:], pad, 0)], 0)
-            deps = np.concatenate([deps, np.repeat(deps[-1:], pad, 0)], 0)
-            minv = np.concatenate([minv, np.repeat(minv[-1:], pad, 0)], 0)
+            deps_p = np.concatenate([deps, np.repeat(deps[-1:], pad, 0)], 0)
+            minv_p = np.concatenate([minv, np.repeat(minv[-1:], pad, 0)], 0)
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         xs = jax.device_put(xs, sh)
     fn = jax.jit(jax.vmap(partial(decode_step, shape=(nz, ny, nx),
                                   levels=WAV_LVL)))
     # np.array (not asarray): device arrays view as read-only and the
     # trivial/wlev==0 branches below write into the result
-    out = np.array(fn(xs, jnp.asarray(deps), jnp.asarray(minv))[:B])
+    out = np.array(fn(xs, jnp.asarray(deps_p), jnp.asarray(minv_p))[:B])
+    for b, e in enumerate(encs):
+        # wtflag=0 fields (rare path — e.g. MSSG masks): accumulate on
+        # the host, one plane at a time (residency stays bounded).
+        # XLA contracts `plane*deps + minv` into an FMA, which breaks
+        # bit-identity with the native decoder exactly where these
+        # fields live (huge-magnitude mask sentinels cancel against
+        # minval); numpy's separate mul/add matches the native order.
+        if e.ntot_enc != 0 and e.wlev == 0:
+            acc = np.zeros(n)
+            for l in range(e.nlay):
+                pl = np.asarray(dev[(b, l)]).astype(np.float64)
+                acc += pl * e.deps_vec[l] + e.minval_vec[l]
+            out[b] = acc.reshape(nz, ny, nx)
     for b, e in enumerate(encs):
         if e.ntot_enc == 0:
             out[b] = e.midval
-        elif e.wlev == 0:
-            # re-run without wavelet for wtflag=0 fields (rare path)
-            acc = (planes[b, :e.nlay].astype(np.float64)
-                   * deps[b, :e.nlay, None]
-                   + minv[b, :e.nlay, None]).sum(0)
-            out[b] = acc.reshape(nz, ny, nx)
     return out
 
 
