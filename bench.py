@@ -302,6 +302,15 @@ def bench_tpu_full(fld, tol, n_blocks=None, onchip=True):
             comp["rans_enc_compute_s"] = time.time() - t0
         except Exception:
             pass
+        # decode compute-only: dchain kernel + compose with all inputs
+        # device-resident (the container upload happens once, outside
+        # the timed region) — VERDICT r4 item 2's number of record
+        try:
+            comp["rans_dec_compute_s"] = rans.decode_compute_seconds(
+                streams_w, n)
+        except Exception as e:
+            log(f"  rans_dec_compute probe failed: "
+                f"{type(e).__name__}: {e}")
         t0 = time.time()
         s2 = rans.encode_planes_device(planes_w, n)
         comp["rans_enc_s"] = time.time() - t0  # incl compressed download
@@ -605,11 +614,18 @@ def main():
             log("provisional headline emitted (final follows)")
 
     # tpu sections: the first device->host transfer of a fresh process
-    # pays the tunnel's multi-minute setup; everything after rides the
-    # warm path + persistent compile cache.
-    rf2 = rn2 = None
+    # pays the tunnel's setup; everything after rides the warm path +
+    # persistent compile cache. Order (VERDICT r4 items 1/3/6): the
+    # CONFORMING device-vs-native row runs FIRST (tol2 — the emulated-f64
+    # device transform floors at ~1e-12 rel, so tol 1e-16 device runs
+    # always contract-fail and are env-opt-in now), then the tol 1e-5
+    # (paper's 10x-compression regime) e2e row, then margin 128^3; the
+    # 1024^3 host row outranks margin-512/verify/exact64.
+    rf2 = rn2 = rf3 = rn3 = None
     tol2 = float(os.environ.get("WR_BENCH_TOL_TPU", "1e-10"))
+    tol3 = float(os.environ.get("WR_BENCH_TOL_FAST", "1e-5"))
     verify_env = None
+    tpu_ok = False
     if os.environ.get("WR_BENCH_SKIP_TPU") != "1" and \
             have(420, "tpu sections (tunnel warm-up)"):
         try:
@@ -620,16 +636,27 @@ def main():
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               1.0)
             kind = jax.devices()[0].device_kind
-            log(f"tpu-full pipeline on {kind}...")
-            rf = bench_tpu_full(fld, tol)
-            log(f"  encode {rf['encode_s']:.2f}s "
-                f"({gib/rf['encode_s']:.3f} GB/s), decode "
-                f"{rf['decode_s']:.2f}s ({gib/rf['decode_s']:.3f} GB/s), "
-                f"ratio {rf['nbytes_out']/rf['nbytes_in']:.3f}, "
-                f"err {rf['err']:.2e}")
-            fold_headline()
-            if rf.get("onchip"):
-                c = rf["onchip"]
+            log(f"tpu-full at conforming tol {tol2:g} on {kind}...")
+            rf2 = bench_tpu_full(fld, tol2)
+            tpu_ok = True
+            rn2 = bench_native(fld, tol2, reps=1, coder=1)
+            log(f"  tol {tol2:g}: tpu-full encode {rf2['encode_s']:.2f}s "
+                f"({gib/rf2['encode_s']:.3f} GB/s) decode "
+                f"{rf2['decode_s']:.2f}s err {rf2['err']:.2e} | "
+                f"native(turbo) encode {rn2['encode_s']:.2f}s "
+                f"({gib/rn2['encode_s']:.3f} GB/s) err {rn2['err']:.2e}")
+            lim2 = max(1.3 * tol2 * maxabs, 2.0 * rn2["err"])
+            with _line_lock:
+                _line["tpu_full_conforming"] = {
+                    "tol": tol2,
+                    "encode_gbps": round(gib / rf2["encode_s"], 4),
+                    "decode_gbps": round(gib / rf2["decode_s"], 4),
+                    "err_ok": bool(rf2["err"] <= lim2),
+                    "vs_native_same_tol": round(
+                        rn2["encode_s"] / rf2["encode_s"], 3),
+                }
+            if rf2.get("onchip"):
+                c = rf2["onchip"]
                 sg = c.get("slab_gb", gib / 8)
                 with _line_lock:
                     _line["onchip_rans_enc_gbps"] = round(
@@ -646,23 +673,109 @@ def main():
                     # r3 regression guard: the device encode step ran at
                     # 0.46 s/slab in r2 and 2.4-2.9 s in r3
                     _line["onchip_step_ok"] = bool(c["step_s"] <= 0.8)
+            # tol 1e-5 e2e row (VERDICT r4 item 3): at the paper's ~10x
+            # regime (doc/cfdproc2017.pdf p.2 §3) only ~0.1x payload
+            # crosses the link with entropy='device' — the regime where
+            # the device path has its best e2e shot on a slow link. The
+            # raw-field upload (encode) / field download (decode) still
+            # crosses the tunnel either way; if the device row loses,
+            # that transfer floor is the reason (PERFORMANCE.md carries
+            # the PCIe-host projection built from this row's compute).
+            if have(180, f"tol {tol3:g} e2e row"):
+                log(f"tpu-full vs native at tol {tol3:g}...")
+                rf3 = bench_tpu_full(fld, tol3, onchip=False)
+                rn3 = bench_native(fld, tol3, reps=1, coder=1)
+                log(f"  tol {tol3:g}: tpu-full encode "
+                    f"{rf3['encode_s']:.2f}s "
+                    f"({gib/rf3['encode_s']:.3f} GB/s) decode "
+                    f"{rf3['decode_s']:.2f}s ratio "
+                    f"{rf3['nbytes_out']/rf3['nbytes_in']:.3f} err "
+                    f"{rf3['err']:.2e} | native(turbo) encode "
+                    f"{rn3['encode_s']:.2f}s "
+                    f"({gib/rn3['encode_s']:.3f} GB/s) decode "
+                    f"{rn3['decode_s']:.2f}s err {rn3['err']:.2e}")
+                lim3 = max(1.3 * tol3 * maxabs, 2.0 * rn3["err"])
+                with _line_lock:
+                    _line["tol1e5"] = {
+                        "tol": tol3,
+                        "tpu_encode_gbps": round(gib / rf3["encode_s"], 4),
+                        "tpu_decode_gbps": round(gib / rf3["decode_s"], 4),
+                        "native_encode_gbps": round(
+                            gib / rn3["encode_s"], 4),
+                        "native_decode_gbps": round(
+                            gib / rn3["decode_s"], 4),
+                        "ratio": round(
+                            rf3["nbytes_out"] / rf3["nbytes_in"], 4),
+                        "err_ok": bool(rf3["err"] <= lim3),
+                        "vs_native_same_tol": round(
+                            rn3["encode_s"] / rf3["encode_s"], 3),
+                    }
+            # margin 128^3 before the heavy sections (cheap, keeps the
+            # margin_ok envelope in the artifact even on a bad day)
+            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
+                    have(90, "margin 128^3"):
+                margin_envelope(fld, [128])
+        except Exception as e:
+            log(f"  tpu conforming sections failed: "
+                f"{type(e).__name__}: {e}")
+
+    # north-star shape, host pipelines (full-field device transfers at
+    # 1024^3 don't fit the driver budget on this link). Ranked above
+    # margin-512/verify/exact64 (VERDICT r4 item 1). fld is kept alive
+    # (1 GB) for the later margin rows.
+    if n == 512 and os.environ.get("WR_BENCH_1024") != "0" and \
+            have(280, "1024^3 host row"):
+        try:
+            f2 = make_field(1024)
+            g2 = f2.nbytes / 1e9
+            r1k = bench_native(f2, tol, reps=1)
+            log(f"1024^3 native: encode {r1k['encode_s']:.1f}s "
+                f"({g2/r1k['encode_s']:.3f} GB/s), decode "
+                f"{r1k['decode_s']:.1f}s, err {r1k['err']:.2e}")
+            with _line_lock:
+                _line["n1024"] = {
+                    "native_encode_gbps": round(g2 / r1k["encode_s"], 4),
+                    "native_decode_gbps": round(g2 / r1k["decode_s"], 4),
+                    "ratio": round(
+                        r1k["nbytes_out"] / r1k["nbytes_in"], 4),
+                    "vs_reference": None,
+                }
+            if os.environ.get("WR_BENCH_SKIP_REF") != "1" and \
+                    have(520, "1024^3 reference encode"):
+                ref1k = bench_reference(f2, tol, REPO / "build" / "bench1k")
+                if ref1k:
+                    log(f"1024^3 reference: encode "
+                        f"{ref1k['encode_s']:.1f}s")
+                    with _line_lock:
+                        _line["n1024"]["vs_reference"] = round(
+                            ref1k["encode_s"] / r1k["encode_s"], 3)
+            del f2
+            from waverange_tpu import native as wn_pool
+            wn_pool.pool_trim()  # release the ~32 GB the 1024^3 run pins
+        except Exception as e:
+            log(f"  1024^3 row failed: {type(e).__name__}: {e}")
+
+    # remaining device sections, cheapest-first within the leftover
+    if tpu_ok:
+        try:
+            # margin 512^3 (VERDICT r4 item 6: third size in the
+            # envelope; ~2 GB through the tunnel)
+            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
+                    n >= 512 and have(300, "margin 512^3"):
+                margin_envelope(fld, [512], tols=(1e-7,))
             if os.environ.get("WR_BENCH_VERIFY", "1") != "0" and \
                     have(240, "on-chip verification"):
-                log(f"on-chip verification on {kind}...")
+                log("on-chip verification...")
                 verify_env = verify_on_chip(fld, tol)
                 with _line_lock:
                     _line["verified_on_chip"] = True
-            # exact64 at scale: the conforming 1e-16 device story. The
-            # software-IEEE f64 path runs the full encode on-chip
-            # (device entropy stage) with streams bit-identical to the
-            # native C++ pipeline; measured so its GB/s sits next to
-            # the f32/emulated rows rather than existing only at 32^3.
+            # exact64 at scale: the conforming 1e-16 device story
+            # (software-IEEE f64, streams bit-identical to native C++)
             if os.environ.get("WR_BENCH_EXACT64", "1") != "0" and \
-                    have(240, "exact64 on-chip scale row"):
+                    have(180, "exact64 on-chip scale row"):
                 try:
                     from waverange_tpu.core import exact64
                     from waverange_tpu import native as wn2
-                    ex_rows = {}
                     sizes64 = [128] + ([256] if remaining() > 500 else [])
                     for N in sizes64:
                         sub = np.ascontiguousarray(fld[:N, :N, :N])
@@ -686,7 +799,7 @@ def main():
                         dref = wn2.decode_field(want, sub.shape, coder=1)
                         dident = bool(np.array_equal(
                             dec.view(np.uint64), dref.view(np.uint64)))
-                        ex_rows[str(N)] = {
+                        row64 = {
                             "encode_gbps": round(gbN / enc_s, 4),
                             "decode_gbps": round(gbN / dec_s, 4),
                             "stream_identical": ident,
@@ -694,50 +807,24 @@ def main():
                         }
                         with _line_lock:  # incremental: watchdog-safe
                             _line.setdefault("exact64_onchip", {})[
-                                str(N)] = ex_rows[str(N)]
+                                str(N)] = row64
                         log(f"  exact64 {N}^3 @tol {tol:g}: encode "
                             f"{enc_s:.2f}s ({gbN/enc_s:.4f} GB/s), decode "
                             f"{dec_s:.2f}s ({gbN/dec_s:.4f} GB/s), "
                             f"stream-identical={ident} bitwise={dident}")
                 except Exception as e:
                     log(f"  exact64 row failed: {type(e).__name__}: {e}")
-            # margin table AFTER the exact64 rows: its 256^3 entries
-            # each move ~270 MB through the tunnel and must not starve
-            # the cheaper sections
-            if os.environ.get("WR_BENCH_MARGIN", "1") != "0" and \
-                    have(180, "margin envelope"):
-                sizes = [s for s in (128, 256) if s <= n]
-                # the 512^3 rows move ~4 GB through the tunnel: only
-                # with generous budget left
-                if n >= 512 and remaining() > 600:
-                    sizes.append(512)
-                margin_envelope(fld, sizes)  # folds into _line itself
-            # The emulated-f64 device transform floors at ~1e-12 rel, so
-            # at near-lossless tolerances the device rows are marked
-            # non-conforming. The device-vs-host comparison that honors
-            # the error contract runs at tol2 (both pipelines, same
-            # data): the contract holds there for both.
-            if have(300, f"tpu-full vs native at tol {tol2:g}"):
-                log(f"tpu-full vs native at conforming tol {tol2:g}...")
-                rf2 = bench_tpu_full(fld, tol2, onchip=False)
-                rn2 = bench_native(fld, tol2, reps=1, coder=1)
-                log(f"  tol {tol2:g}: tpu-full encode "
-                    f"{rf2['encode_s']:.2f}s "
-                    f"({gib/rf2['encode_s']:.3f} GB/s) err {rf2['err']:.2e}"
-                    f" | native(turbo) encode {rn2['encode_s']:.2f}s "
-                    f"({gib/rn2['encode_s']:.3f} GB/s) err {rn2['err']:.2e}")
-                lim2 = max(1.3 * tol2 * maxabs, 2.0 * rn2["err"])
-                with _line_lock:
-                    _line["tpu_full_conforming"] = {
-                        "tol": tol2,
-                        "encode_gbps": round(gib / rf2["encode_s"], 4),
-                        "decode_gbps": round(gib / rf2["decode_s"], 4),
-                        "err_ok": bool(rf2["err"] <= lim2),
-                        "vs_native_same_tol": round(
-                            rn2["encode_s"] / rf2["encode_s"], 3),
-                    }
+            # tol 1e-16 device e2e: its only unique content is the
+            # documented contract fail (err floors at ~1.3e-12 rel;
+            # BENCH_r04 tail) — env-opt-in, lowest rank
+            if os.environ.get("WR_BENCH_TPU16") == "1" and \
+                    have(300, "tpu-full @1e-16 (contract-fail record)"):
+                rf = bench_tpu_full(fld, tol, onchip=False)
+                log(f"  tol {tol:g}: tpu-full encode "
+                    f"{rf['encode_s']:.2f}s err {rf['err']:.2e}")
+                fold_headline()
         except Exception as e:
-            log(f"  tpu-full failed: {type(e).__name__}: {e}")
+            log(f"  tpu extras failed: {type(e).__name__}: {e}")
         if os.environ.get("WR_BENCH_SKIP_HYBRID", "1") != "1" and \
                 have(240, "tpu-hybrid"):
             try:
@@ -766,44 +853,10 @@ def main():
             log(f"  CONTRACT FAIL: {name} err {r['err']:.2e} > "
                 f"max({limit:.2e}, 2x native {anchor:.2e}) — row excluded "
                 "from headline")
-
-    # north-star shape, host pipelines (full-field device transfers at
-    # 1024^3 don't fit the driver budget on this round's ~16 MB/s link).
-    # Field gen ~75s + native encode/decode ~150s; the ~340s reference
-    # encode has its own gate below.
-    if n == 512 and os.environ.get("WR_BENCH_1024") != "0" and \
-            have(280, "1024^3 host row"):
-        try:
-            del fld
-            f2 = make_field(1024)
-            g2 = f2.nbytes / 1e9
-            r1k = bench_native(f2, tol, reps=2)
-            log(f"1024^3 native: encode {r1k['encode_s']:.1f}s "
-                f"({g2/r1k['encode_s']:.3f} GB/s), decode "
-                f"{r1k['decode_s']:.1f}s, err {r1k['err']:.2e}")
-            with _line_lock:
-                _line["n1024"] = {
-                    "native_encode_gbps": round(g2 / r1k["encode_s"], 4),
-                    "native_decode_gbps": round(g2 / r1k["decode_s"], 4),
-                    "ratio": round(
-                        r1k["nbytes_out"] / r1k["nbytes_in"], 4),
-                    "vs_reference": None,
-                }
-            if os.environ.get("WR_BENCH_SKIP_REF") != "1" and \
-                    have(420, "1024^3 reference encode"):
-                ref1k = bench_reference(f2, tol, REPO / "build" / "bench1k")
-                if ref1k:
-                    log(f"1024^3 reference: encode "
-                        f"{ref1k['encode_s']:.1f}s")
-                    with _line_lock:
-                        _line["n1024"]["vs_reference"] = round(
-                            ref1k["encode_s"] / r1k["encode_s"], 3)
-            del f2
-        except Exception as e:
-            log(f"  1024^3 row failed: {type(e).__name__}: {e}")
     emit()
     return dict(native=rn, ref=ref, tpu_full=rf, tpu_hybrid=rt,
                 tpu_full_tol2=rf2, native_tol2=rn2,
+                tpu_full_tol3=rf3, native_tol3=rn3,
                 verify_env=verify_env, gib=gib, n=n, tol=tol)
 
 
@@ -816,7 +869,8 @@ def scaling_report():
     if "WR_BENCH_BUDGET_S" not in os.environ:
         BUDGET = 3300.0
     res = main()
-    rn, ref, rf = res["native"], res["ref"], res["tpu_full"]
+    rn, ref = res["native"], res["ref"]
+    rf = res["tpu_full"] or res["tpu_full_tol2"]
     gib = res["gib"]
     lines = [
         "# Scaling report (auto-generated by `python bench.py --scaling`)",

@@ -709,10 +709,10 @@ def _dchain_prep(freqs_a, pay2d, Bp: int, PC: int):
     return cum_t, pay
 
 
-def _decode_planes_kernels(streams: list[bytes], n: int) -> jax.Array:
-    """Kernel-pipeline device decode (ops/rans_kernels.dchain)."""
-    from . import rans_kernels as rk
-
+def _dchain_host_prep(streams: list[bytes], n: int):
+    """Host side of the kernel decode: parse + pad containers, build the
+    slot maps, upload. Returns the device arrays + static dims the
+    device stage (`_dchain_device`) consumes."""
     L = len(streams)
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
         _parse_to_batch(streams, [n] * L)
@@ -733,11 +733,6 @@ def _decode_planes_kernels(streams: list[bytes], n: int) -> jax.Array:
     pay_h = np.zeros((Bp, PC * 8), np.uint16)
     W = min(words_a.shape[1], PC * 8)
     pay_h[:words_a.shape[0], :W] = words_a[:, :W]
-    cum_t, pay = _dchain_prep(jnp.asarray(freqs_a.astype(np.int32)),
-                              jnp.asarray(pay_h), Bp, PC)
-    syms = rk.dchain(cum_t, jnp.asarray(states_a.T.copy()),
-                     jnp.asarray(wlen_a.astype(np.int32))[None, :],
-                     jnp.asarray(bs_a.astype(np.int32))[None, :], pay)
     nb = -(-n // TBLOCK)
     drop = L * nb
     slots_b = np.full(Bp, drop, np.int32)
@@ -749,9 +744,48 @@ def _decode_planes_kernels(streams: list[bytes], n: int) -> jax.Array:
     for i, (ip, pos, bsz, rb) in enumerate(raws):
         rawbuf[i, :bsz] = np.frombuffer(rb, np.uint8)
         slots_r[i] = ip * nb + pos // TBLOCK
-    return _compose_planes(syms.T, jnp.asarray(slots_b),
-                           jnp.asarray(rawbuf), jnp.asarray(slots_r),
-                           L, nb, n)
+    dev = dict(
+        freqs=jnp.asarray(freqs_a.astype(np.int32)),
+        pay2d=jnp.asarray(pay_h),
+        states=jnp.asarray(states_a.T.copy()),
+        wlen=jnp.asarray(wlen_a.astype(np.int32))[None, :],
+        bs=jnp.asarray(bs_a.astype(np.int32))[None, :],
+        slots_b=jnp.asarray(slots_b),
+        rawbuf=jnp.asarray(rawbuf),
+        slots_r=jnp.asarray(slots_r))
+    return dev, Bp, PC, L, nb
+
+
+def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
+    """Device stage of the kernel decode: model/payload layout glue, the
+    dchain Pallas kernel, and slot composition."""
+    from . import rans_kernels as rk
+
+    cum_t, pay = _dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC)
+    syms = rk.dchain(cum_t, dev["states"], dev["wlen"], dev["bs"], pay)
+    return _compose_planes(syms.T, dev["slots_b"], dev["rawbuf"],
+                           dev["slots_r"], L, nb, n)
+
+
+def _decode_planes_kernels(streams: list[bytes], n: int) -> jax.Array:
+    """Kernel-pipeline device decode (ops/rans_kernels.dchain)."""
+    dev, Bp, PC, L, nb = _dchain_host_prep(streams, n)
+    return _dchain_device(dev, Bp, PC, L, nb, n)
+
+
+def decode_compute_seconds(streams: list[bytes], n: int) -> float:
+    """Compute-only decode rate probe (bench): parse + upload once, then
+    time the device-resident stage (`_dchain_device`) with warm
+    compiles — the chip's own decode rate as opposed to the tunnel's."""
+    import time
+
+    dev, Bp, PC, L, nb = _dchain_host_prep(streams, n)
+    for v in dev.values():
+        jax.block_until_ready(v)
+    jax.block_until_ready(_dchain_device(dev, Bp, PC, L, nb, n))  # warm
+    t0 = time.time()
+    jax.block_until_ready(_dchain_device(dev, Bp, PC, L, nb, n))
+    return time.time() - t0
 
 
 def decode_planes_device(streams: list[bytes], n: int,
