@@ -701,12 +701,16 @@ def _parse_to_batch(streams: list[bytes], ns: list[int]):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _dchain_prep(freqs_a, pay2d, Bp: int, PC: int):
-    """Device glue for the decode kernel: cum tables + payload layout
-    (8, PC, B) from the uploaded (B, PC*8) u16 word rows."""
+    """Device glue for the decode kernel: cum tables (+ the 32-row-
+    subsampled chunk locator scum, padded to 16 rows with PROB_SCALE)
+    and payload layout (8, PC, B) from the uploaded (B, PC*8) rows."""
     cum = jnp.cumsum(freqs_a, axis=1, dtype=_I32) - freqs_a
     cum_t = cum.T                                     # (256, B)
+    scum = jnp.concatenate(
+        [cum_t[::32], jnp.full((8, cum_t.shape[1]), PROB_SCALE,
+                               cum_t.dtype)], axis=0)  # (16, B)
     pay = pay2d.reshape(Bp, PC, 8).transpose(2, 1, 0)
-    return cum_t, pay
+    return cum_t, scum, pay
 
 
 def _dchain_host_prep(streams: list[bytes], n: int):
@@ -761,8 +765,9 @@ def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
     dchain Pallas kernel, and slot composition."""
     from . import rans_kernels as rk
 
-    cum_t, pay = _dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC)
-    syms = rk.dchain(cum_t, dev["states"], dev["wlen"], dev["bs"], pay)
+    cum_t, scum, pay = _dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC)
+    syms = rk.dchain(cum_t, scum, dev["states"], dev["wlen"], dev["bs"],
+                     pay)
     return _compose_planes(syms.T, dev["slots_b"], dev["rawbuf"],
                            dev["slots_r"], L, nb, n)
 

@@ -504,9 +504,9 @@ def _row_prefix_incl(x):
     return x
 
 
-def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
-               x_ref, cur_ref, payv_ref, l3_ref, l3b_ref, l2_ref,
-               l2b_ref, w1_ref, w1b_ref, sem):
+def _dc_kernel(cum_ref, scum_ref, x0_ref, wlen_ref, bs_ref, pay_ref,
+               syms_ref, x_ref, cur_ref, payv_ref, l3_ref, l3b_ref,
+               l2_ref, l2b_ref, w1_ref, w1b_ref, sem):
     t = pl.program_id(0)
     c = pl.program_id(1)
     TB = _DC_TB
@@ -577,15 +577,20 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
         w1b_ref[:] = l2b_ref[:] + c1 * 64
 
     def step(i, _):
+        # Cadences 128/32/8 (was 128/16/4): reach analysis with the
+        # worst-case 8-words/step advance — w1 at 8: widx-w1b <= 63 +
+        # 8*7 + 7 = 126 < 128; l2 at 32: cur-l2b <= 255 + 8*31 = 503 ->
+        # c1 <= 7 (clamp 10). Each cadence divides the next level's
+        # (8 | 32 | 128) so bases never go stale across a refill.
         @pl.when(i % 128 == 0)
         def _():
             l3_refill()
 
-        @pl.when(i % 16 == 0)
+        @pl.when(i % 32 == 0)
         def _():
             l2_rebuild()
 
-        @pl.when(i % 4 == 0)
+        @pl.when(i % 8 == 0)
         def _():
             w1_rebuild()
 
@@ -593,40 +598,54 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
         cur = cur_ref[:]
         slot = (x & _u32(PROB_SCALE - 1)).astype(_I32)     # (8, TB)
 
-        # count-only sweep: sym = #(cum <= slot) - 1 (2 vector ops per
-        # cum row; cum_e/cum_i come from the cheaper post-hoc lookups
-        # below instead of 2 selects per row)
-        def sweep(sc, sym):
-            cs32 = cum_ref[pl.ds(sc * 32, 32), :]          # (32, TB)
+        # Two-level sweep: the 32-row-subsampled table (scum) locates
+        # the symbol's 32-row chunk in 8 compares; only the OCCUPIED
+        # chunk range is swept (quantized layers concentrate mass in a
+        # few chunks — range is ~1-2 for real data), with cum_e/cum_i
+        # extracted in-chunk (4 aligned 8-row gathers each) instead of
+        # a separate 32-iteration lookup. Value-identical to the full
+        # 256-row count: rows below the chunk all satisfy cum <= slot
+        # (cum[32*csel] = scum[csel] <= slot), rows above none
+        # (cum[32*(csel+1)] = scum[csel+1] > slot); equal-cum runs land
+        # on the run's last index either way, so cum_i > cum_e always.
+        scnt = jnp.zeros((8, TB), _I32)
+        for p8 in range(8):
+            scnt = scnt + (scum_ref[p8:p8 + 1, :] <= slot).astype(_I32)
+        csel = scnt - 1                  # chunk of the symbol (>= 0)
+
+        def chunk_fn(p, carry):
+            sym_c, ce_c, ci_c = carry
+            cs32 = cum_ref[pl.ds(p * 32, 32), :]           # (32, TB)
+            cnt = jnp.zeros((8, TB), _I32)
             for j in range(32):
-                sym = sym + (cs32[j:j + 1, :] <= slot).astype(_I32)
-            return sym
+                cnt = cnt + (cs32[j:j + 1, :] <= slot).astype(_I32)
+            loc = cnt - 1                # in-chunk row, in [0, 32)
+            lo = loc & 7
+            hiq = loc >> 3
+            lop = cnt & 7
+            hip = cnt >> 3               # in [0, 4]; 4 = next chunk
+            ge = jnp.zeros((8, TB), _I32)
+            gi = jnp.zeros((8, TB), _I32)
+            for q in range(4):
+                sub = cs32[q * 8:(q + 1) * 8, :]
+                ge = jnp.where(hiq == q,
+                               jnp.take_along_axis(sub, lo, axis=0), ge)
+                gi = jnp.where(hip == q,
+                               jnp.take_along_axis(sub, lop, axis=0), gi)
+            # cnt == 32: cum_i is the next chunk's first row — read from
+            # scum (rows 8..15 are PROB_SCALE padding, so p = 7 is safe)
+            nxt = scum_ref[pl.ds(p + 1, 1), :]
+            gi = jnp.where(hip == 4, jnp.broadcast_to(nxt, (8, TB)), gi)
+            hit = csel == p
+            sym_c = jnp.where(hit, p * 32 + loc, sym_c)
+            ce_c = jnp.where(hit, ge, ce_c)
+            ci_c = jnp.where(hit, gi, ci_c)
+            return sym_c, ce_c, ci_c
 
-        sym = jax.lax.fori_loop(0, 8, sweep,
-                                jnp.zeros((8, TB), _I32)) - 1
-        # cum_e = cum[sym], cum_i = cum[sym+1] (PROB_SCALE past the
-        # end): 32 chunk iterations, each one legal (8, TB) row-gather
-        # + select. For zero-freq runs the count lands on the last
-        # index of the equal-cum run, so cum[sym+1] > cum[sym] always.
-        lo = sym & 7
-        hi = sym >> 3
-        symp = sym + 1
-        lop = symp & 7
-        hip = symp >> 3                  # 32 when symp == 256: no match
-
-        def pick_cum(p, carry):
-            ce, ci = carry
-            sub = cum_ref[pl.ds(p * 8, 8), :]              # (8, TB)
-            ge = jnp.take_along_axis(sub, lo, axis=0)
-            gi = jnp.take_along_axis(sub, lop, axis=0)
-            ce = jnp.where(hi == p, ge, ce)
-            ci = jnp.where(hip == p, gi, ci)
-            return ce, ci
-
-        cum_e, cum_i = jax.lax.fori_loop(
-            0, 32, pick_cum,
-            (jnp.zeros((8, TB), _I32), jnp.full((8, TB), PROB_SCALE,
-                                                _I32)))
+        sym, cum_e, cum_i = jax.lax.fori_loop(
+            jnp.min(csel), jnp.max(csel) + 1, chunk_fn,
+            (jnp.zeros((8, TB), _I32), jnp.zeros((8, TB), _I32),
+             jnp.full((8, TB), PROB_SCALE, _I32)))
         f = (cum_i - cum_e).astype(_U32)
         offv = (slot - cum_e).astype(_U32)
 
@@ -659,16 +678,19 @@ def _dc_kernel(cum_ref, x0_ref, wlen_ref, bs_ref, pay_ref, syms_ref,
     jax.lax.fori_loop(0, _DC_GC, step, 0)
 
 
-@partial(jax.jit, static_argnums=(5,))
-def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
+@partial(jax.jit, static_argnums=(6,))
+def dchain(cum_t, scum, x0, wlen_row, bs_row, pay,
+           interpret: bool = False):
     """Decode the lane chains for B blocks.
 
-    cum_t (256, B) i32 exclusive cumulative tables; x0 (8, B) u32 lane
-    states; wlen_row/bs_row (1, B) i32; pay (8, PC, B) u16 payload
-    words (word w of block b at [w & 7, w >> 3, b]) where PC is a
-    multiple of 128 with _L3C+128 <= PC <= _PAYC and every block's
-    wlen <= PC*8 — callers size PC to the batch's max word count so
-    short streams don't DMA the full 32768-word capacity.
+    cum_t (256, B) i32 exclusive cumulative tables; scum (16, B) i32
+    32-row-subsampled tables (rows p < 8 = cum[32p], rows >= 8 =
+    PROB_SCALE padding — the two-level sweep's chunk locator); x0
+    (8, B) u32 lane states; wlen_row/bs_row (1, B) i32; pay (8, PC, B)
+    u16 payload words (word w of block b at [w & 7, w >> 3, b]) where
+    PC is a multiple of 128 with _L3C+128 <= PC <= _PAYC and every
+    block's wlen <= PC*8 — callers size PC to the batch's max word
+    count so short streams don't DMA the full 32768-word capacity.
     Returns syms (TBLOCK, B) u8 (position-major).
     """
     interpret = interpret or _env_interpret()
@@ -685,6 +707,8 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((TBLOCK, B), jnp.uint8),
             in_specs=[
                 pl.BlockSpec((256, _DC_TB), lambda t, c: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, _DC_TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, _DC_TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
@@ -710,4 +734,4 @@ def dchain(cum_t, x0, wlen_row, bs_row, pay, interpret: bool = False):
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(cum_t, x0, wlen_row, bs_row, pay)
+        )(cum_t, scum, x0, wlen_row, bs_row, pay)
