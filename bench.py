@@ -776,16 +776,23 @@ def main():
                 try:
                     from waverange_tpu.core import exact64
                     from waverange_tpu import native as wn2
+                    from waverange_tpu.utils import diag as wdiag
                     sizes64 = [128] + ([256] if remaining() > 500 else [])
                     for N in sizes64:
                         sub = np.ascontiguousarray(fld[:N, :N, :N])
                         gbN = sub.nbytes / 1e9
                         got = exact64.encode_field_exact64(
                             sub, tol, entropy="device", coder=1)
+                        wdiag.reset_timings()
                         t0 = time.time()
                         got = exact64.encode_field_exact64(
                             sub, tol, entropy="device", coder=1)
                         enc_s = time.time() - t0
+                        ph = {k.split(".")[-1]: round(v["total_s"], 2)
+                              for k, v in wdiag.get_timings().items()
+                              if k.startswith("exact64.")}
+                        log(f"  exact64 {N}^3 phases: {ph} (transfers "
+                            "are the tunnel's; compute is the chip's)")
                         want = wn2.encode_field(
                             sub, wtflag=1, cutoff=np.array([tol]),
                             coder=1)

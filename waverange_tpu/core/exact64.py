@@ -47,14 +47,23 @@ def _inv(h, l, levels: int):
 
 @jax.jit
 def _minmax(h, l):
+    """Layer bounds as ONE stacked (4,) u32 array: a single device->host
+    transfer per layer instead of four (each fetch pays the full tunnel/
+    PCIe round-trip latency — 4 x ~25 ms per layer added up to ~0.6 s of
+    the 256^3 encode)."""
     mnh, mnl = sf.reduce_min(h.ravel(), l.ravel())
     mxh, mxl = sf.reduce_max(h.ravel(), l.ravel())
-    return mnh, mnl, mxh, mxl
+    return jnp.stack([mnh, mnl, mxh, mxl])
 
 
 @jax.jit
 def _quant_layer(h, l, ah, al, bh, bl, dh, dl, mnh, mnl):
-    """fq = a*x + b (truncated to u8); resid = x - (q*deps + mn)."""
+    """fq = a*x + b (truncated to u8); resid = x - (q*deps + mn).
+
+    Also returns the residual's min/max as one stacked (4,) u32 array —
+    the next layer's model bounds for free (the native pipeline's fused-
+    quantizer structure, wr_native.cc quantize_residual_fused), saving a
+    separate reduction dispatch + device round trip per layer."""
     fqh, fql = sf.add(*sf.mul(jnp.broadcast_to(ah, h.shape),
                               jnp.broadcast_to(al, h.shape), h, l),
                       jnp.broadcast_to(bh, h.shape),
@@ -66,7 +75,7 @@ def _quant_layer(h, l, ah, al, bh, bl, dh, dl, mnh, mnl):
                     jnp.broadcast_to(mnh, h.shape),
                     jnp.broadcast_to(mnl, h.shape))
     rh, rl = sf.sub(h, l, th, tl)
-    return q, rh, rl
+    return q, rh, rl, _minmax(rh, rl)
 
 
 @jax.jit
@@ -82,10 +91,6 @@ def _acc_layer(acch, accl, q, dh, dl, mnh, mnl):
 def _scal(x: float):
     h, l = sf.from_scalar(float(x))
     return h, l
-
-
-def _fetch(h, l) -> float:
-    return float(sf.unpack(np.asarray(h), np.asarray(l)))
 
 
 def encode_field_exact64(fld: np.ndarray, tolrel: float, wtflag: int = 1,
@@ -108,41 +113,51 @@ def encode_field_exact64(fld: np.ndarray, tolrel: float, wtflag: int = 1,
     if halfspan <= 2 * DBL_MIN:  # trivial exit (wrappers.cpp:257-266)
         meta.update(tolabs=0.0, wlev=0, nlay=0, ntot_enc=0, data=b"")
         return meta
-    h, l = sf.pack(a)
+    from ..utils import timed
+    with timed("exact64.pack_upload"):
+        h, l = sf.pack(a)
+        jax.block_until_ready((h, l))
     if wtflag:
-        h, l = _fwd(h, l, levels)
+        with timed("exact64.wavelet"):
+            h, l = _fwd(h, l, levels)
+            jax.block_until_ready((h, l))
     h, l = h.ravel(), l.ravel()
     tolabs = tolrel * max(abs(mn), abs(mx))
     tolabs = tolabs / WAV_ACC_COEF
     meta["tolabs"] = tolabs
 
     planes = []
-    for ilay in range(NLAYMAX):
-        mnh, mnl, mxh, mxl = _minmax(h, l)
-        mnw, mxw = _fetch(mnh, mnl), _fetch(mxh, mxl)
-        deps = (mxw - mnw) / 255.0
-        brk = deps < tolabs
-        if brk:
-            deps = tolabs
-        aopt = 1.0 / deps
-        bopt = -mnw * aopt + 0.5
-        q, h, l = _quant_layer(h, l, *_scal(aopt), *_scal(bopt),
-                               *_scal(deps), *_scal(mnw))
-        planes.append(q)
-        meta["deps_vec"][ilay] = deps
-        meta["minval_vec"][ilay] = mnw
-        if brk or ilay == NLAYMAX - 1:
-            break
+    with timed("exact64.layers"):
+        mm_dev = _minmax(h, l)
+        for ilay in range(NLAYMAX):
+            mm = np.asarray(mm_dev)  # one transfer: [mnh mnl mxh mxl]
+            mnw = float(sf.unpack(mm[0], mm[1]))
+            mxw = float(sf.unpack(mm[2], mm[3]))
+            deps = (mxw - mnw) / 255.0
+            brk = deps < tolabs
+            if brk:
+                deps = tolabs
+            aopt = 1.0 / deps
+            bopt = -mnw * aopt + 0.5
+            q, h, l, mm_dev = _quant_layer(h, l, *_scal(aopt),
+                                           *_scal(bopt), *_scal(deps),
+                                           *_scal(mnw))
+            planes.append(q)
+            meta["deps_vec"][ilay] = deps
+            meta["minval_vec"][ilay] = mnw
+            if brk or ilay == NLAYMAX - 1:
+                break
     nlay = len(planes)
     meta["nlay"] = nlay
-    if entropy == "device":
-        from ..ops import rans
-        streams = rans.encode_planes_device(jnp.stack(planes), n)
-        payload = b"".join(streams)
-        lens = [len(s) for s in streams]
-    else:
-        pl = np.stack([np.asarray(p) for p in planes])
-        payload, lens = wn.encode_planes_batch(pl, coder=coder)
+    with timed("exact64.entropy"):
+        if entropy == "device":
+            from ..ops import rans
+            streams = rans.encode_planes_device(jnp.stack(planes), n)
+            payload = b"".join(streams)
+            lens = [len(s) for s in streams]
+        else:
+            pl = np.stack([np.asarray(p) for p in planes])
+            payload, lens = wn.encode_planes_batch(pl, coder=coder)
     meta["len_enc_vec"][:nlay] = lens
     meta.update(ntot_enc=len(payload), data=payload)
     return meta
