@@ -521,7 +521,12 @@ def main():
     # point — the artifact can never again end up with `parsed: null`.
     n = int(os.environ.get("WR_BENCH_N", "512"))
     tol = float(os.environ.get("WR_BENCH_TOL", "1e-16"))
-    pairs = int(os.environ.get("WR_BENCH_PAIRS", "1" if n >= 1024 else "3"))
+    # 2 pairs at the 512^3 headline (was 3): best-of-2 still rides out
+    # the CPU-steal bursts, and the ~100 s saved is what lets the 1024^3
+    # reference row fit the 1500 s budget (VERDICT r4 item 1).
+    pairs = int(os.environ.get(
+        "WR_BENCH_PAIRS",
+        "1" if n >= 1024 else ("2" if n >= 512 else "3")))
     if n >= 1024:
         os.environ.setdefault("WR_BENCH_SKIP_HYBRID", "1")
     _line.update({
