@@ -79,13 +79,31 @@ def _quant_layer(h, l, ah, al, bh, bl, dh, dl, mnh, mnl):
 
 
 @jax.jit
-def _acc_layer(acch, accl, q, dh, dl, mnh, mnl):
-    qh, ql = sf.from_u8(q)
-    th, tl = sf.add(*sf.mul(qh, ql, jnp.broadcast_to(dh, q.shape),
-                            jnp.broadcast_to(dl, q.shape)),
-                    jnp.broadcast_to(mnh, q.shape),
-                    jnp.broadcast_to(mnl, q.shape))
-    return sf.add(acch, accl, th, tl)
+def _acc_all(planes, scal8):
+    """All-layer accumulate in ONE dispatch: unlike the encode loop,
+    decode's per-layer scalars are known upfront (meta deps/minval
+    vecs), so there is no host round trip to pipeline around. scal8:
+    (nlay, 4) u32 rows [dh dl mnh mnl]; layer order preserved via scan
+    (sequential adds — the reference accumulate order,
+    wrappers.cpp:512-514)."""
+    n = planes.shape[1]
+    acc = (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
+
+    def body(acc, xs):
+        q, s = xs
+        return _acc_pair(acc, q, s), None
+
+    def _acc_pair(acc, q, s):
+        qh, ql = sf.from_u8(q)
+        th, tl = sf.add(*sf.mul(qh, ql,
+                                jnp.broadcast_to(s[0], q.shape),
+                                jnp.broadcast_to(s[1], q.shape)),
+                        jnp.broadcast_to(s[2], q.shape),
+                        jnp.broadcast_to(s[3], q.shape))
+        return sf.add(acc[0], acc[1], th, tl)
+
+    acc, _ = jax.lax.scan(body, acc, (planes, scal8))
+    return acc
 
 
 def _scal(x: float):
@@ -182,12 +200,12 @@ def decode_field_exact64(meta: dict, shape, coder: int = 1,
     else:
         planes = jnp.asarray(wn.decode_planes_batch(
             meta["data"], meta["len_enc_vec"][:nlay], n, coder=coder))
-    acch = jnp.zeros(n, jnp.uint32)
-    accl = jnp.zeros(n, jnp.uint32)
+    scal8 = np.zeros((nlay, 4), np.uint32)
     for i in range(nlay):
-        acch, accl = _acc_layer(acch, accl, planes[i],
-                                *_scal(float(meta["deps_vec"][i])),
-                                *_scal(float(meta["minval_vec"][i])))
+        d = np.float64(meta["deps_vec"][i]).view(np.uint64)
+        m = np.float64(meta["minval_vec"][i]).view(np.uint64)
+        scal8[i] = (d >> 32, d & 0xFFFFFFFF, m >> 32, m & 0xFFFFFFFF)
+    acch, accl = _acc_all(jnp.asarray(planes), jnp.asarray(scal8))
     acch = acch.reshape(shape)
     accl = accl.reshape(shape)
     wlev = int(meta["wlev"])

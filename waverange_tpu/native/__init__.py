@@ -84,6 +84,8 @@ def get_lib() -> ct.CDLL:
                                           ct.c_double]
         lib.wrn_pool_trim.restype = None
         lib.wrn_pool_trim.argtypes = []
+        lib.wrn_pool_warm.restype = None
+        lib.wrn_pool_warm.argtypes = [u64, ct.c_int]
         _lib = lib
     return _lib
 
@@ -97,6 +99,18 @@ def pool_trim() -> None:
     """Release the native library's process-wide buffer pool (frees the
     ~GBs of recycled pages a large-field batch leaves mapped)."""
     get_lib().wrn_pool_trim()
+
+
+def pool_warm(n: int, slots: int = 0) -> None:
+    """Pre-fault the pool buffers a size-n encode/decode will use so the
+    first timed call runs at steady state (the ~34 GB working set of a
+    1024^3 encode costs ~60 s of first-touch faults on virtualized
+    hosts; benchmarks should pay that outside the timed region)."""
+    get_lib().wrn_pool_warm(n, slots)
+    # the calling thread's recycled sink (encode_field output staging)
+    # faults on first touch too — pre-fault one page per 4 KiB
+    buf = _sink_buffer(NLAYMAX * max(n, 1024))
+    buf[::4096] = 0
 
 
 def _u8p(a: np.ndarray):

@@ -2405,6 +2405,25 @@ int wrn_version() { return 10000; }  // waverange_tpu native ABI version
 // finished a large batch and want the ~GBs of recycled pages back).
 void wrn_pool_trim() { wr::BufPool::trim(); }
 
+// Pre-fault the pool buffers a size-n encode/decode will use, so the
+// first timed call runs at steady state (first-touch faults cost
+// ~27 us/page on virtualized hosts — ~60 s of kernel time for the
+// ~34 GB working set of a 1024^3 encode). Touches the same
+// allocations encode_field_nc/encode_layers/decode_field request.
+void wrn_pool_warm(uint64_t n, int slots) {
+  using wr::u64;
+  if (slots < 1 || slots > (int)wr::kLayersMax) slots = wr::kLayersMax;
+  std::vector<wr::u8> bufs[2 + wr::kLayersMax];
+  bufs[0] = wr::BufPool::get(u64(slots) * n, u64(slots) * n);  // planes
+  bufs[1] = wr::BufPool::get(n * 8, n * 8);                    // scratch
+  const u64 scap = 2 * n + (n / wr::kBlockSymbols + 2) * 1100 + 64;
+  for (int l = 0; l < (int)wr::kLayersMax; ++l)
+    bufs[2 + l] = wr::BufPool::get(scap, scap);
+  for (auto& b : bufs)
+    if (!b.empty()) std::memset(b.data(), 0, b.size());
+  for (auto& b : bufs) wr::BufPool::put(std::move(b));
+}
+
 // Exactness self-test for MagicDiv over the coder's divisor domain
 // (1..2^17) with boundary-adversarial dividends. Returns 0 on success.
 int wrn_selftest_magicdiv() {
