@@ -601,6 +601,13 @@ def main():
                     ref["decode_s"] / rn["decode_s"], 3)
 
     rt = rf = None
+    # steady state from pair 1: pre-fault the pool working set outside
+    # the timed region (the first encode in a fresh process otherwise
+    # pays ~5 s of first-touch faults at 512^3, ~60-120 s at 1024^3)
+    from waverange_tpu import native as _wn_warm
+    t0 = time.time()
+    _wn_warm.pool_warm(fld.size)
+    log(f"pool warmed in {time.time()-t0:.1f}s")
     for k in range(pairs):
         if k > 0 and not have(90, f"pair {k+1}"):
             break
