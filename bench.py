@@ -805,7 +805,8 @@ def main():
                     with _line_lock:
                         _line["n1024"]["vs_reference"] = round(
                             ref1k["encode_s"] / r1k["encode_s"], 3)
-            elif (rc := reference_cached(1024, tol, wd1k)):
+            elif os.environ.get("WR_BENCH_SKIP_REF") != "1" and \
+                    (rc := reference_cached(1024, tol, wd1k)):
                 # live re-measure didn't fit: report the prior run on
                 # the same machine/binary under an explicit _cached key
                 log(f"1024^3 reference (cached prior run): {rc:.1f}s")

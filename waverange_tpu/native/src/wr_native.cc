@@ -1676,7 +1676,10 @@ class BufPool {
     // buffers are the expensive ones to re-fault.
     u64 total = 0;
     for (auto& b : p) total += b.capacity();
-    while (total > budget() && p.size() > 1) {
+    while (total > budget() && !p.empty()) {
+      // smallest-first keeps the most expensive-to-refault buffers,
+      // but the budget is strict: a single over-budget buffer is
+      // dropped too (callers with WR_POOL_BYTES set want the bound)
       int mi = 0;
       for (int i = 1; i < (int)p.size(); ++i)
         if (p[i].capacity() < p[mi].capacity()) mi = i;
