@@ -466,12 +466,32 @@ def margin_envelope(fld, sizes, tols=(1e-7, 1e-10)):
         for t in tols:
             # per-entry gate: a 512^3 round trip can take 15+ min on a
             # bad tunnel day — don't start one the budget can't absorb
-            if not have(60 + sub.nbytes / 4e6, f"margin {N}^3@{t:g}"):
+            entry_budget = 60 + sub.nbytes / 4e6
+            if not have(entry_budget, f"margin {N}^3@{t:g}"):
                 return out
-            e = codec.encode_field(sub, t, backend="jax", coder="rans",
-                                   entropy="device")
-            d = codec.decode_field(e, backend="jax", entropy="device")
-            err = float(np.abs(d - sub).max())
+            # bounded worker: the 512^3 entry hits kernel-compile
+            # batch shapes nothing else uses, and the remote compile
+            # helper has been observed to hang indefinitely on them —
+            # a wedge must cost only this entry's allotment, not the
+            # rest of the bench
+            box = []
+
+            def _entry():
+                e = codec.encode_field(sub, t, backend="jax",
+                                       coder="rans", entropy="device")
+                d = codec.decode_field(e, backend="jax",
+                                       entropy="device")
+                box.append(float(np.abs(d - sub).max()))
+
+            wt = threading.Thread(target=_entry, daemon=True)
+            wt.start()
+            wt.join(min(entry_budget + 240, max(remaining() - 30, 1)))
+            if not box:
+                log(f"  margin {N}^3@{t:g}: TIMED OUT (compile helper "
+                    "hang?) — entry skipped; later device sections may "
+                    "be blocked behind it")
+                return out
+            err = box[0]
             frac = err / (1.3 * t * maxabs)
             out[f"{N}@{t:g}"] = round(frac, 4)
             # fold incrementally: the watchdog may fire mid-sweep
