@@ -709,7 +709,10 @@ def _dchain_prep(freqs_a, pay2d, Bp: int, PC: int):
     scum = jnp.concatenate(
         [cum_t[::32], jnp.full((8, cum_t.shape[1]), PROB_SCALE,
                                cum_t.dtype)], axis=0)  # (16, B)
-    pay = pay2d.reshape(Bp, PC, 8).transpose(2, 1, 0)
+    # one big 2D transpose then a major-dims swap (minor dim untouched)
+    # instead of a minor-dim-8 3D transpose — value-identical layout
+    # [w & 7, w >> 3, b], measurably cheaper on TPU
+    pay = pay2d.T.reshape(PC, 8, Bp).transpose(1, 0, 2)
     return cum_t, scum, pay
 
 
@@ -721,7 +724,9 @@ def _dchain_host_prep(streams: list[bytes], n: int):
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
         _parse_to_batch(streams, [n] * L)
     B0 = freqs_a.shape[0]
-    Bp = max(-(-B0 // 128) * 128, 128)
+    # pad to the decode kernel's tile width (rans_kernels._DC_TB)
+    from .rans_kernels import _DC_TB as _TBK
+    Bp = max(-(-B0 // _TBK) * _TBK, _TBK)
     if Bp > B0:
         freqs_a = np.pad(freqs_a, ((0, Bp - B0), (0, 0)))
         freqs_a[B0:, 0] = PROB_SCALE
@@ -756,8 +761,19 @@ def _dchain_host_prep(streams: list[bytes], n: int):
         bs=jnp.asarray(bs_a.astype(np.int32))[None, :],
         slots_b=jnp.asarray(slots_b),
         rawbuf=jnp.asarray(rawbuf),
-        slots_r=jnp.asarray(slots_r))
+        slots_r=jnp.asarray(slots_r),
+        # no raw blocks -> batch covers every slot in stream order, so
+        # slots_b[:L*nb] is the identity and compose needs no scatter
+        identity=not raws)
     return dev, Bp, PC, L, nb
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _compose_identity(syms_t, L: int, nb: int, n: int):
+    """Raw-free compose: block i of the batch IS output slot i, so the
+    scatter degenerates to transpose + reshape (round-5 profile: the
+    two .at[].set scatters were ~45 of compose's 47 ms per slab)."""
+    return syms_t.T[:L * nb].reshape(L, nb * TBLOCK)[:, :n]
 
 
 def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
@@ -768,6 +784,8 @@ def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
     cum_t, scum, pay = _dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC)
     syms = rk.dchain(cum_t, scum, dev["states"], dev["wlen"], dev["bs"],
                      pay)
+    if dev.get("identity"):
+        return _compose_identity(syms, L, nb, n)
     return _compose_planes(syms.T, dev["slots_b"], dev["rawbuf"],
                            dev["slots_r"], L, nb, n)
 

@@ -487,7 +487,10 @@ def compact(offsets: jax.Array, npieces: jax.Array, words_b: jax.Array,
 # [b, w & 7, w >> 3]; slots past wlen are zero and never consumed
 # (widx < wlen mirrors the C++ decoder's `w + 1 < wend` guard).
 # ---------------------------------------------------------------------------
-_DC_TB = 128
+_DC_TB = 256     # blocks per tile: the per-step loop machinery is a
+                 # fixed ~32 ms/slab floor at 128 (measured empty-body,
+                 # round 4) — 256 halves the step count for the same
+                 # total vector work (round-5: 146 -> ~1.9x less floor)
 _DC_GC = 256
 _DC_NC = G // _DC_GC
 _W1C = 16
@@ -662,6 +665,10 @@ def _dc_kernel(cum_ref, scum_ref, x0_ref, wlen_ref, bs_ref, pay_ref,
         wrel = widx - w1b_ref[:]
         wrow = wrel & 7
         wcol = wrel >> 3                                   # in [0, 16)
+        # (A per-column occupied-range fori was tried here round-5 and
+        # does not lower: Mosaic requires dynamic dim-1 slice starts to
+        # be provably 8-aligned, which single-column starts are not —
+        # the 16-column static select IS the alignment-legal form.)
         word = jnp.zeros((8, TB), _I32)
         for cc in range(_W1C):
             col = w1_ref[:, cc, :].astype(_I32)            # (8, TB)
