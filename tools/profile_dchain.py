@@ -58,8 +58,10 @@ def main():
     print(f"host prep+upload:{(time.time()-t0)*1e3:9.1f} ms "
           f"(Bp {Bp}, PC {PC})", flush=True)
 
+    c0, bc, pcc = dev["chunks"][0]
     dt, (cum_t, scum, pay) = t(
-        lambda: rans._dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC))
+        lambda: rans._dchain_prep(dev["freqs"], dev["pay2d"],
+                                  c0, bc, pcc))
     print(f"dchain_prep:     {dt*1e3:9.1f} ms", flush=True)
 
     dt, syms = t(lambda: rk.dchain(cum_t, scum, dev["states"],

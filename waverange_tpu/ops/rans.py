@@ -699,21 +699,42 @@ def _parse_to_batch(streams: list[bytes], ns: list[int]):
     return batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _dchain_prep(freqs_a, pay2d, Bp: int, PC: int):
-    """Device glue for the decode kernel: cum tables (+ the 32-row-
-    subsampled chunk locator scum, padded to 16 rows with PROB_SCALE)
-    and payload layout (8, PC, B) from the uploaded (B, PC*8) rows."""
-    cum = jnp.cumsum(freqs_a, axis=1, dtype=_I32) - freqs_a
-    cum_t = cum.T                                     # (256, B)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _dchain_prep(freqs_a, pay2d, c0: int, bc: int, PC: int):
+    """Device glue for one decode-kernel chunk (blocks [c0, c0+bc)):
+    cum tables (+ the 32-row-subsampled chunk locator scum, padded to
+    16 rows with PROB_SCALE) and payload layout (8, PC, bc) from the
+    uploaded (B, PCg*8) rows."""
+    f = freqs_a[c0:c0 + bc]
+    cum = jnp.cumsum(f, axis=1, dtype=_I32) - f
+    cum_t = cum.T                                     # (256, bc)
     scum = jnp.concatenate(
-        [cum_t[::32], jnp.full((8, cum_t.shape[1]), PROB_SCALE,
-                               cum_t.dtype)], axis=0)  # (16, B)
+        [cum_t[::32], jnp.full((8, bc), PROB_SCALE,
+                               cum_t.dtype)], axis=0)  # (16, bc)
     # one big 2D transpose then a major-dims swap (minor dim untouched)
     # instead of a minor-dim-8 3D transpose — value-identical layout
     # [w & 7, w >> 3, b], measurably cheaper on TPU
-    pay = pay2d.T.reshape(PC, 8, Bp).transpose(1, 0, 2)
-    return cum_t, scum, pay
+    pay = pay2d[c0:c0 + bc, :PC * 8].T.reshape(PC, 8, bc)
+    return cum_t, scum, pay.transpose(1, 0, 2)
+
+
+def _chunk_plan(wlen_a: np.ndarray, Bp: int, TBK: int):
+    """Split a padded batch into kernel sub-calls of bounded, bucketed
+    shape: sizes from {8,4,2,1}*TBK (largest-first), per-chunk payload
+    columns sized to that chunk's own max word count. Bounding Bp keeps
+    every field size on the handful of slab-class compile shapes —
+    one-off giant batches (full-field 512^3 decode: Bp 16384) have
+    wedged the Mosaic compile helper for 10+ minutes."""
+    chunks = []
+    c0 = 0
+    while c0 < Bp:
+        bc = next(s * TBK for s in (8, 4, 2, 1)
+                  if s * TBK <= Bp - c0 or s == 1)
+        maxw = int(wlen_a[c0:c0 + bc].max()) if wlen_a.size else 0
+        pcc = min(4096, max(512, -(-maxw // 1024) * 128))
+        chunks.append((c0, bc, pcc))
+        c0 += bc
+    return chunks
 
 
 def _dchain_host_prep(streams: list[bytes], n: int):
@@ -764,7 +785,8 @@ def _dchain_host_prep(streams: list[bytes], n: int):
         slots_r=jnp.asarray(slots_r),
         # no raw blocks -> batch covers every slot in stream order, so
         # slots_b[:L*nb] is the identity and compose needs no scatter
-        identity=not raws)
+        identity=not raws,
+        chunks=_chunk_plan(wlen_a, Bp, _TBK))
     return dev, Bp, PC, L, nb
 
 
@@ -778,12 +800,17 @@ def _compose_identity(syms_t, L: int, nb: int, n: int):
 
 def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
     """Device stage of the kernel decode: model/payload layout glue, the
-    dchain Pallas kernel, and slot composition."""
+    dchain Pallas kernel per bounded chunk, and slot composition."""
     from . import rans_kernels as rk
 
-    cum_t, scum, pay = _dchain_prep(dev["freqs"], dev["pay2d"], Bp, PC)
-    syms = rk.dchain(cum_t, scum, dev["states"], dev["wlen"], dev["bs"],
-                     pay)
+    parts = []
+    for c0, bc, pcc in dev["chunks"]:
+        cum_t, scum, pay = _dchain_prep(dev["freqs"], dev["pay2d"],
+                                        c0, bc, pcc)
+        parts.append(rk.dchain(
+            cum_t, scum, dev["states"][:, c0:c0 + bc],
+            dev["wlen"][:, c0:c0 + bc], dev["bs"][:, c0:c0 + bc], pay))
+    syms = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if dev.get("identity"):
         return _compose_identity(syms, L, nb, n)
     return _compose_planes(syms.T, dev["slots_b"], dev["rawbuf"],
