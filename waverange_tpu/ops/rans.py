@@ -745,8 +745,12 @@ def _dchain_host_prep(streams: list[bytes], n: int):
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
         _parse_to_batch(streams, [n] * L)
     B0 = freqs_a.shape[0]
-    # pad to the decode kernel's tile width (rans_kernels._DC_TB)
-    from .rans_kernels import _DC_TB as _TBK
+    # pad to the decode kernel's tile width; slab-class batches use the
+    # wide tile (quarter the per-step loop overhead, 95.9 -> 82.5 ms
+    # per slab measured round-5) while small fields keep the narrow one
+    # so they don't pay up-to-2x padding work
+    from .rans_kernels import _DC_TB, _DC_TB_WIDE
+    _TBK = _DC_TB_WIDE if B0 >= _DC_TB_WIDE else _DC_TB
     Bp = max(-(-B0 // _TBK) * _TBK, _TBK)
     if Bp > B0:
         freqs_a = np.pad(freqs_a, ((0, Bp - B0), (0, 0)))
@@ -786,6 +790,7 @@ def _dchain_host_prep(streams: list[bytes], n: int):
         # no raw blocks -> batch covers every slot in stream order, so
         # slots_b[:L*nb] is the identity and compose needs no scatter
         identity=not raws,
+        tbk=_TBK,
         chunks=_chunk_plan(wlen_a, Bp, _TBK))
     return dev, Bp, PC, L, nb
 
@@ -809,7 +814,8 @@ def _dchain_device(dev, Bp: int, PC: int, L: int, nb: int, n: int):
                                         c0, bc, pcc)
         parts.append(rk.dchain(
             cum_t, scum, dev["states"][:, c0:c0 + bc],
-            dev["wlen"][:, c0:c0 + bc], dev["bs"][:, c0:c0 + bc], pay))
+            dev["wlen"][:, c0:c0 + bc], dev["bs"][:, c0:c0 + bc], pay,
+            tb=dev.get("tbk", 0)))
     syms = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if dev.get("identity"):
         return _compose_identity(syms, L, nb, n)

@@ -491,6 +491,10 @@ _DC_TB = 256     # blocks per tile: the per-step loop machinery is a
                  # fixed ~32 ms/slab floor at 128 (measured empty-body,
                  # round 4) — 256 halves the step count for the same
                  # total vector work (round-5: 146 -> ~1.9x less floor)
+_DC_TB_WIDE = 512  # large-batch tile: quarters the step count again
+                 # (bench slab kernel 95.9 -> 82.5 ms, byte-identical,
+                 # round-5 hw A/B); only used when the batch is already
+                 # >= 512 blocks so small fields don't pay 2x padding
 _DC_GC = 256
 _DC_NC = G // _DC_GC
 _W1C = 16
@@ -512,7 +516,7 @@ def _dc_kernel(cum_ref, scum_ref, x0_ref, wlen_ref, bs_ref, pay_ref,
                l2_ref, l2b_ref, w1_ref, w1b_ref, sem):
     t = pl.program_id(0)
     c = pl.program_id(1)
-    TB = _DC_TB
+    TB = wlen_ref.shape[1]                   # tile width (static)
     PC = payv_ref.shape[1]                   # payload cols (static)
     n_g3 = (PC - _L3C) // 128 + 1            # L3 granule candidates
     lane = jax.lax.broadcasted_iota(_I32, (8, TB), 0)
@@ -685,9 +689,9 @@ def _dc_kernel(cum_ref, scum_ref, x0_ref, wlen_ref, bs_ref, pay_ref,
     jax.lax.fori_loop(0, _DC_GC, step, 0)
 
 
-@partial(jax.jit, static_argnums=(6,))
+@partial(jax.jit, static_argnums=(6, 7))
 def dchain(cum_t, scum, x0, wlen_row, bs_row, pay,
-           interpret: bool = False):
+           interpret: bool = False, tb: int = 0):
     """Decode the lane chains for B blocks.
 
     cum_t (256, B) i32 exclusive cumulative tables; scum (16, B) i32
@@ -698,46 +702,49 @@ def dchain(cum_t, scum, x0, wlen_row, bs_row, pay,
     PC is a multiple of 128 with _L3C+128 <= PC <= _PAYC and every
     block's wlen <= PC*8 — callers size PC to the batch's max word
     count so short streams don't DMA the full 32768-word capacity.
+    tb: blocks per tile (0 = _DC_TB); callers with >= _DC_TB_WIDE
+    blocks pass the wide tile (quarter the per-step loop overhead).
     Returns syms (TBLOCK, B) u8 (position-major).
     """
     interpret = interpret or _env_interpret()
     B = cum_t.shape[1]
     PC = pay.shape[1]
-    assert B % _DC_TB == 0
+    _TB = tb or _DC_TB
+    assert B % _TB == 0
     assert PC % 128 == 0 and _L3C + 128 <= PC <= _PAYC, PC
     with jax.enable_x64(False):
         return pl.pallas_call(
             _dc_kernel,
-            grid=(B // _DC_TB, _DC_NC),
+            grid=(B // _TB, _DC_NC),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=jax.ShapeDtypeStruct((TBLOCK, B), jnp.uint8),
             in_specs=[
-                pl.BlockSpec((256, _DC_TB), lambda t, c: (0, t),
+                pl.BlockSpec((256, _TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((16, _DC_TB), lambda t, c: (0, t),
+                pl.BlockSpec((16, _TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, _DC_TB), lambda t, c: (0, t),
+                pl.BlockSpec((8, _TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DC_TB), lambda t, c: (0, t),
+                pl.BlockSpec((1, _TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DC_TB), lambda t, c: (0, t),
+                pl.BlockSpec((1, _TB), lambda t, c: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # full payload
             ],
-            out_specs=pl.BlockSpec((_DC_GC * 8, _DC_TB),
+            out_specs=pl.BlockSpec((_DC_GC * 8, _TB),
                                    lambda t, c: (c, t),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((8, _DC_TB), _U32),       # x
-                pltpu.VMEM((1, _DC_TB), _I32),       # cur
-                pltpu.VMEM((8, PC, _DC_TB), jnp.uint16),  # payload
-                pltpu.VMEM((8, _L3C, _DC_TB), jnp.uint16),
-                pltpu.VMEM((1, _DC_TB), _I32),       # l3 base
-                pltpu.VMEM((8, _L2C, _DC_TB), jnp.uint16),
-                pltpu.VMEM((1, _DC_TB), _I32),       # l2 base
-                pltpu.VMEM((8, _W1C, _DC_TB), jnp.uint16),
-                pltpu.VMEM((1, _DC_TB), _I32),       # w1 base
+                pltpu.VMEM((8, _TB), _U32),       # x
+                pltpu.VMEM((1, _TB), _I32),       # cur
+                pltpu.VMEM((8, PC, _TB), jnp.uint16),  # payload
+                pltpu.VMEM((8, _L3C, _TB), jnp.uint16),
+                pltpu.VMEM((1, _TB), _I32),       # l3 base
+                pltpu.VMEM((8, _L2C, _TB), jnp.uint16),
+                pltpu.VMEM((1, _TB), _I32),       # l2 base
+                pltpu.VMEM((8, _W1C, _TB), jnp.uint16),
+                pltpu.VMEM((1, _TB), _I32),       # w1 base
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
