@@ -720,16 +720,18 @@ def _dchain_prep(freqs_a, pay2d, c0: int, bc: int, PC: int):
 
 def _chunk_plan(wlen_a: np.ndarray, Bp: int, TBK: int):
     """Split a padded batch into kernel sub-calls of bounded, bucketed
-    shape: sizes from {8,4,2,1}*TBK (largest-first), per-chunk payload
-    columns sized to that chunk's own max word count. Bounding Bp keeps
-    every field size on the handful of slab-class compile shapes —
-    one-off giant batches (full-field 512^3 decode: Bp 16384) have
-    wedged the Mosaic compile helper for 10+ minutes."""
+    shape: sizes from {8,4,2,1}*TBK capped at the proven 2048-block
+    slab class (largest-first), per-chunk payload columns sized to that
+    chunk's own max word count. Bounding the chunk shape keeps every
+    field size on the handful of slab-class compile shapes — one-off
+    giant batches (full-field 512^3 decode: Bp 16384) have wedged the
+    Mosaic compile helper for 10+ minutes."""
     chunks = []
     c0 = 0
+    sizes = [s for s in (8, 4, 2, 1) if s * TBK <= 2048] or [1]
     while c0 < Bp:
-        bc = next(s * TBK for s in (8, 4, 2, 1)
-                  if s * TBK <= Bp - c0 or s == 1)
+        bc = next(s * TBK for s in sizes
+                  if s * TBK <= Bp - c0 or s == sizes[-1])
         maxw = int(wlen_a[c0:c0 + bc].max()) if wlen_a.size else 0
         pcc = min(4096, max(512, -(-maxw // 1024) * 128))
         chunks.append((c0, bc, pcc))
