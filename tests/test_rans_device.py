@@ -204,3 +204,23 @@ def test_corrupt_stream_fuzz_never_crashes():
     # zero-length and garbage-only streams
     try_decode(b"")
     try_decode(bytes(rng.integers(0, 256, 2000, dtype=np.uint8)))
+
+
+def test_chunk_plan_bounded_shapes():
+    """Kernel sub-call shapes stay on the proven slab class: chunk
+    sizes are multiples of the tile width, capped at 2048 blocks, and
+    tile the padded batch exactly (wide 512 tiles AND narrow 256)."""
+    from waverange_tpu.ops.rans import _chunk_plan
+
+    for TBK, Bp in [(256, 256), (256, 2048), (512, 512), (512, 2048),
+                    (512, 16384), (256, 16384), (512, 2048 + 512)]:
+        wlen = np.zeros(Bp, np.int32)
+        wlen[::7] = 900            # nonuniform word counts
+        chunks = _chunk_plan(wlen, Bp, TBK)
+        covered = 0
+        for c0, bc, pcc in chunks:
+            assert c0 == covered
+            assert bc % TBK == 0 and bc <= 2048
+            assert pcc % 128 == 0 and 512 <= pcc <= 4096
+            covered += bc
+        assert covered == Bp

@@ -857,10 +857,11 @@ def decode_planes_device(streams: list[bytes], n: int,
 
     The Pallas decode kernel (ops/rans_kernels.dchain) is the default
     on accelerators (opt-out with WR_RANS_DECODE=0): hardware-validated
-    byte-correct (round-3/4 A/B vs the C++ coder) at ~0.7 s per 134M
-    symbols on v5e — ~6.5x the XLA sweep-scan (the r3 "1.3x" number was
-    dominated by a fixed-size 134 MB payload upload through the tunnel;
-    the upload is now sized to the actual stream words).
+    byte-correct (round-3/4/5 A/B vs the C++ coder) at ~84 ms per 134M
+    symbols on v5e (1.6 GB/s device stage; see PERFORMANCE.md for the
+    round-5 lazy-rebuild / two-level-sweep / wide-tile decomposition —
+    round 4 was 0.67 s, the r3 "1.3x" number was dominated by a
+    fixed-size 134 MB payload upload through the tunnel).
     """
     import os
     if (os.environ.get("WR_RANS_DECODE", "1") != "0" and _use_kernels()
