@@ -224,3 +224,28 @@ def test_chunk_plan_bounded_shapes():
             assert pcc % 128 == 0 and 512 <= pcc <= 4096
             covered += bc
         assert covered == Bp
+
+
+def test_wide_tile_selection_host_prep():
+    """Slab-class batches (>= _DC_TB_WIDE blocks) pick the wide decode
+    tile; small batches keep the narrow one (no 2x padding)."""
+    from waverange_tpu import native as wn
+    from waverange_tpu.ops.rans import TBLOCK, _dchain_host_prep
+    from waverange_tpu.ops.rans_kernels import _DC_TB, _DC_TB_WIDE
+
+    rng = np.random.default_rng(5)
+    # 2 planes x 256 blocks = 512 blocks -> wide
+    n = 256 * TBLOCK
+    planes = rng.integers(0, 4, size=(2, n)).astype(np.uint8)
+    streams = [wn.encode_plane(p, coder=1) for p in planes]
+    dev, Bp, PC, L, nb = _dchain_host_prep(streams, n)
+    assert dev["tbk"] == _DC_TB_WIDE
+    assert Bp % _DC_TB_WIDE == 0
+    assert all(bc % _DC_TB_WIDE == 0 for _, bc, _ in dev["chunks"])
+
+    # 2 planes x 32 blocks = 64 blocks -> narrow
+    n2 = 32 * TBLOCK
+    small = [wn.encode_plane(p[:n2], coder=1) for p in planes]
+    dev2, Bp2, _, _, _ = _dchain_host_prep(small, n2)
+    assert dev2["tbk"] == _DC_TB
+    assert Bp2 == _DC_TB
