@@ -231,17 +231,26 @@ def test_wide_tile_selection_host_prep():
     tile; small batches keep the narrow one (no 2x padding)."""
     from waverange_tpu import native as wn
     from waverange_tpu.ops.rans import TBLOCK, _dchain_host_prep
-    from waverange_tpu.ops.rans_kernels import _DC_TB, _DC_TB_WIDE
+    from waverange_tpu.ops.rans_kernels import (_DC_TB, _DC_TB_WIDE,
+                                                _DC_TB_XWIDE,
+                                                _XWIDE_PC_MAX)
 
     rng = np.random.default_rng(5)
-    # 2 planes x 256 blocks = 512 blocks -> wide
+    # 2 planes x 256 blocks = 512 blocks -> wide (not xwide: B0 < 1024)
     n = 256 * TBLOCK
     planes = rng.integers(0, 4, size=(2, n)).astype(np.uint8)
     streams = [wn.encode_plane(p, coder=1) for p in planes]
     dev, Bp, PC, L, nb = _dchain_host_prep(streams, n)
+    assert PC <= _XWIDE_PC_MAX  # low-entropy -> small payloads
     assert dev["tbk"] == _DC_TB_WIDE
     assert Bp % _DC_TB_WIDE == 0
     assert all(bc % _DC_TB_WIDE == 0 for _, bc, _ in dev["chunks"])
+
+    # 4 planes x 256 blocks = 1024 blocks with small payloads -> xwide
+    streams4 = streams + streams
+    dev4, Bp4, _, _, _ = _dchain_host_prep(streams4, n)
+    assert dev4["tbk"] == _DC_TB_XWIDE
+    assert all(bc % _DC_TB_XWIDE == 0 for _, bc, _ in dev4["chunks"])
 
     # 2 planes x 32 blocks = 64 blocks -> narrow
     n2 = 32 * TBLOCK

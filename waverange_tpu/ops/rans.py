@@ -747,12 +747,22 @@ def _dchain_host_prep(streams: list[bytes], n: int):
     batch, raws, freqs_a, states_a, words_a, wlen_a, bs_a = \
         _parse_to_batch(streams, [n] * L)
     B0 = freqs_a.shape[0]
+    # payload columns (also the kernel's VMEM driver): sized to the
+    # batch's max word count; padding below never changes the max
+    maxw = int(wlen_a.max()) if wlen_a.size else 0
+    PC = min(4096, max(512, -(-maxw // 1024) * 128))
     # pad to the decode kernel's tile width; slab-class batches use the
-    # wide tile (quarter the per-step loop overhead, 95.9 -> 82.5 ms
-    # per slab measured round-5) while small fields keep the narrow one
-    # so they don't pay up-to-2x padding work
-    from .rans_kernels import _DC_TB, _DC_TB_WIDE
-    _TBK = _DC_TB_WIDE if B0 >= _DC_TB_WIDE else _DC_TB
+    # widest tile whose payload scratch fits VMEM (95.9 -> 82.5 ->
+    # 74.8 ms per slab measured round-5) while small fields keep the
+    # narrow one so they don't pay up-to-2x padding work
+    from .rans_kernels import (_DC_TB, _DC_TB_WIDE, _DC_TB_XWIDE,
+                               _XWIDE_PC_MAX)
+    if B0 >= _DC_TB_XWIDE and PC <= _XWIDE_PC_MAX:
+        _TBK = _DC_TB_XWIDE
+    elif B0 >= _DC_TB_WIDE:
+        _TBK = _DC_TB_WIDE
+    else:
+        _TBK = _DC_TB
     Bp = max(-(-B0 // _TBK) * _TBK, _TBK)
     if Bp > B0:
         freqs_a = np.pad(freqs_a, ((0, Bp - B0), (0, 0)))
@@ -761,11 +771,8 @@ def _dchain_host_prep(streams: list[bytes], n: int):
                           constant_values=RANS_L)
         wlen_a = np.pad(wlen_a, (0, Bp - B0))
         bs_a = np.pad(bs_a, (0, Bp - B0))
-    # payload columns: sized to the batch's max word count (multiple of
-    # 128 cols = 1024 words, >= L3 window + one granule) so sparse/low-
-    # entropy batches don't upload + DMA the full 32768-word capacity
-    maxw = int(wlen_a.max()) if wlen_a.size else 0
-    PC = min(4096, max(512, -(-maxw // 1024) * 128))
+    # (PC: multiple of 128 cols = 1024 words, >= L3 window + one
+    # granule — computed above, before the tile-width choice)
     pay_h = np.zeros((Bp, PC * 8), np.uint16)
     W = min(words_a.shape[1], PC * 8)
     pay_h[:words_a.shape[0], :W] = words_a[:, :W]

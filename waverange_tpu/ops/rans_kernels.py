@@ -495,6 +495,13 @@ _DC_TB_WIDE = 512  # large-batch tile: quarters the step count again
                  # (bench slab kernel 95.9 -> 82.5 ms, byte-identical,
                  # round-5 hw A/B); only used when the batch is already
                  # >= 512 blocks so small fields don't pay 2x padding
+_DC_TB_XWIDE = 1024  # slab-class tile when the payload capacity fits
+                 # VMEM (82.5 -> 74.8 ms, byte-identical hw A/B); the
+                 # (8, PC, TB) u16 payload scratch is the VMEM driver,
+                 # so callers only pick this when PC <= _XWIDE_PC_MAX
+_XWIDE_PC_MAX = 3328  # 8*3328*1024*2 = 55 MB payload scratch (proven
+                 # compile); near-raw batches (PC up to 4096) would
+                 # need 67 MB + windows and are left on the 512 tile
 _DC_GC = 256
 _DC_NC = G // _DC_GC
 _W1C = 16
